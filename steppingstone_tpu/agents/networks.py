@@ -1,0 +1,127 @@
+"""Policy / value networks.
+
+Shapes mirror the reference checkpoints exactly (SURVEY.md §2.8):
+- actor: obs -> 256 x5 -> act, softsign x3 + relu x2 + tanh out
+  (reference `common/controller.py:217-261`)
+- critic: obs -> 256 x4 -> 1, relu, orthogonal init, N-way ensemble
+  `c0..cN` (reference `common/controller.py:71-95`)
+- state-independent diagonal-Gaussian with a learned logstd bias,
+  init -1.5, reset to -2.5 on fine-tune (reference `controller.py:20-33,102`)
+
+Init matches the reference: torch-default (fan-in uniform) for the actor,
+orthogonal(gain=sqrt(2)) for critics.
+
+The 256-wide MLP stack is MXU-friendly as-is: six (B,256)x(256,256)
+matmuls fuse into one XLA program; fp32 params with default matmul
+precision (bf16 inputs gain nothing at this size on v4/v5e).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+HIDDEN = 256
+
+
+def torch_linear_init(key, shape, dtype=jnp.float32):
+    """torch.nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    fan_in = shape[0]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchDense(nn.Module):
+    """Dense layer with torch-default initialization."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", torch_linear_init, (fan_in, self.features))
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        return x @ kernel + bias
+
+
+class SoftsignActor(nn.Module):
+    """Reference `SoftsignActor` (controller.py:217): 6-layer 256 MLP."""
+
+    action_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(3):
+            x = nn.soft_sign(TorchDense(HIDDEN)(x))
+        for _ in range(2):
+            x = nn.relu(TorchDense(HIDDEN)(x))
+        return nn.tanh(TorchDense(self.action_dim)(x))
+
+
+class Critic(nn.Module):
+    """Reference critic (controller.py:71-95): 5-layer 256 relu MLP,
+    orthogonal(sqrt(2)) weights, zero bias."""
+
+    @nn.compact
+    def __call__(self, x):
+        dense = lambda f: nn.Dense(
+            f,
+            kernel_init=nn.initializers.orthogonal(jnp.sqrt(2.0)),
+            bias_init=nn.initializers.zeros_init(),
+        )
+        for _ in range(4):
+            x = nn.relu(dense(HIDDEN)(x))
+        return dense(1)(x)
+
+
+class ActorCritic(nn.Module):
+    """Reference `Policy` (controller.py:55): actor + critic ensemble +
+    state-independent logstd."""
+
+    action_dim: int
+    num_ensembles: int = 1
+    logstd_init: float = -1.5
+
+    def setup(self):
+        self.actor = SoftsignActor(self.action_dim)
+        self.critics = [Critic(name=f"c{i}") for i in range(self.num_ensembles)]
+        self.logstd = self.param(
+            "logstd",
+            lambda key, shape: jnp.full(shape, self.logstd_init),
+            (self.action_dim,),
+        )
+
+    def __call__(self, obs):
+        """(mean, logstd, value) — used for init/inspection."""
+        return self.action_mean(obs), self.logstd, self.value(obs)
+
+    def action_mean(self, obs):
+        return self.actor(obs)
+
+    def ensemble_values(self, obs):
+        """(..., num_ensembles) — reference `get_ensemble_values`."""
+        return jnp.concatenate([c(obs) for c in self.critics], axis=-1)
+
+    def value(self, obs):
+        """(..., 1) ensemble mean — reference `get_value`."""
+        return jnp.mean(self.ensemble_values(obs), axis=-1, keepdims=True)
+
+
+def reset_logstd(params, value: float = -2.5):
+    """Reference `Policy.reset_dist` (controller.py:102): shrink exploration
+    noise when fine-tuning from a pretrained controller."""
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    flat = dict(params["params"])
+    flat["logstd"] = jnp.full_like(flat["logstd"], value)
+    return {**params, "params": flat}

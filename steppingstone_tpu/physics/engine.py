@@ -1,0 +1,198 @@
+"""The physics engine step: actuation + contact + dynamics + integration.
+
+Replaces the reference's `pybullet.stepSimulation()` control-step loop
+(SURVEY.md §3.4: 240 Hz substeps, frame-skip 4 → 60 Hz control) with one
+pure function, `vmap`-able over the env batch and `lax.scan`-able over time.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from steppingstone_tpu.core import quaternion as qt
+from steppingstone_tpu.physics import contact as ct
+from steppingstone_tpu.physics import dynamics as dyn
+from steppingstone_tpu.physics import kinematics as kin_mod
+from steppingstone_tpu.physics.model import RobotModel
+
+SIM_DT = 1.0 / 240.0
+SUBSTEPS = 4  # -> 60 Hz control rate, matching the reference
+
+
+class PhysicsState(NamedTuple):
+    q: jnp.ndarray   # (nq,)
+    qd: jnp.ndarray  # (ndof,)
+
+
+class StepInfo(NamedTuple):
+    foot_contact: jnp.ndarray       # (2,) right/left foot touching anything
+    foot_stone: jnp.ndarray         # (2,) int stone index under each foot (-1 none)
+    foot_normal_force: jnp.ndarray  # (2,) peak normal force per foot over substeps
+    joint_at_limit: jnp.ndarray     # (NJ,) bool at the final substep
+    contact_force_sum: jnp.ndarray  # () total |normal force| (diagnostics)
+
+
+LIMIT_K = 600.0   # joint-limit spring (stiff; handled implicitly)
+LIMIT_C = 20.0    # joint-limit damper
+MAX_QD = 150.0    # hard velocity clamp — NaN firewall for pathological states
+
+
+def joint_limit_torque(model: RobotModel, qj, qdj, k=LIMIT_K, c=LIMIT_C):
+    lo = jnp.asarray(model.joint_lower, dtype=qj.dtype)
+    hi = jnp.asarray(model.joint_upper, dtype=qj.dtype)
+    below = jnp.minimum(qj - lo, 0.0)
+    above = jnp.maximum(qj - hi, 0.0)
+    out = (below < 0) | (above > 0)
+    return -k * (below + above) - c * qdj * out, out
+
+
+def passive_torque(model: RobotModel, qj, qdj):
+    damp = jnp.asarray(model.joint_damping, dtype=qj.dtype)
+    stiff = jnp.asarray(model.joint_stiffness, dtype=qj.dtype)
+    ref = jnp.asarray(model.joint_spring_ref, dtype=qj.dtype)
+    return -damp * qdj - stiff * (qj - ref)
+
+
+def torque_actuation(model: RobotModel, action, qj, qdj):
+    """Reference Walker3D-style direct torque control: action in [-1, 1]
+    scales per-joint torque limits (SURVEY.md §2.9 'torque multipliers')."""
+    tau = jnp.zeros(model.njoints, dtype=action.dtype)
+    idx = model.actuated_idx
+    lim = jnp.asarray(model.torque_limit[idx], dtype=action.dtype)
+    return tau.at[idx].set(jnp.clip(action, -1.0, 1.0) * lim)
+
+
+def pd_actuation(model: RobotModel, action, qj, qdj):
+    """Cassie-style PD control: action in [-1, 1] maps to a target angle in
+    the joint range; tau = kp (target - q) - kd qd, clamped to limits."""
+    idx = model.actuated_idx
+    lo = jnp.asarray(model.joint_lower[idx], dtype=action.dtype)
+    hi = jnp.asarray(model.joint_upper[idx], dtype=action.dtype)
+    mid, half = 0.5 * (lo + hi), 0.5 * (hi - lo)
+    target = mid + jnp.clip(action, -1.0, 1.0) * half
+    kp = jnp.asarray(model.kp[idx], dtype=action.dtype)
+    kd = jnp.asarray(model.kd[idx], dtype=action.dtype)
+    lim = jnp.asarray(model.torque_limit[idx], dtype=action.dtype)
+    tau_a = jnp.clip(kp * (target - qj[idx]) - kd * qdj[idx], -lim, lim)
+    tau = jnp.zeros(model.njoints, dtype=action.dtype)
+    return tau.at[idx].set(tau_a)
+
+
+def _substep(model, state, tau_j, stones, stone_radius, use_ground, cparams):
+    q, qd = state.q, state.qd
+    dtype = q.dtype
+    kin = kin_mod.forward_kinematics(model, q)
+    vel = kin_mod.body_velocities(model, kin, qd)
+    root = kin.pos[0]
+
+    pts = kin_mod.contact_points(model, kin)
+    pvel = kin_mod.contact_point_velocities(model, kin, vel, pts)
+    radius = jnp.asarray(model.contact_radius, dtype=dtype)
+    cout = ct.compute_contacts(pts, pvel, radius, stones, stone_radius, use_ground, cparams)
+    f_ext = ct.contact_forces_to_bodies(
+        model.nbodies, jnp.asarray(model.contact_body), pts, root, cout.force
+    )
+
+    qj, qdj = q[7:], qd[6:]
+    tau_lim, at_limit = joint_limit_torque(model, qj, qdj)
+    tau_full = jnp.concatenate(
+        [jnp.zeros(6, dtype=dtype), tau_j + passive_torque(model, qj, qdj) + tau_lim]
+    )
+    # implicit treatment of the stiff per-joint spring-dampers (see
+    # dynamics.forward_dynamics): joint damping + limit dampers on the D
+    # diagonal, passive springs + active limit springs on the K diagonal
+    damp_j = jnp.asarray(model.joint_damping, dtype=dtype) + LIMIT_C * at_limit
+    stiff_j = jnp.asarray(model.joint_stiffness, dtype=dtype) + LIMIT_K * at_limit
+    zeros6 = jnp.zeros(6, dtype=dtype)
+    qdd = dyn.forward_dynamics(
+        model, kin, vel, tau_full, f_ext,
+        damping_diag=jnp.concatenate([zeros6, damp_j]),
+        stiffness_diag=jnp.concatenate([zeros6, stiff_j]),
+        dt=SIM_DT,
+    )
+
+    # --- semi-implicit Euler ------------------------------------------
+    qd_new = jnp.clip(qd + SIM_DT * qdd, -MAX_QD, MAX_QD)
+    omega, v_o = qd_new[0:3], qd_new[3:6]
+    root_new = root + SIM_DT * v_o
+    # re-reference the root linear velocity to the new root position
+    v_root = v_o + jnp.cross(omega, root_new - root)
+    quat_new = qt.integrate(q[3:7], omega, SIM_DT)
+    qj_new = qj + SIM_DT * qd_new[6:]
+    q_new = jnp.concatenate([root_new, quat_new, qj_new])
+    qd_new = jnp.concatenate([omega, v_root, qd_new[6:]])
+
+    # per-foot diagnostics (masked max over this substep's contacts)
+    foot_ids = jnp.asarray(model.foot_of_contact)
+    f_c = jnp.zeros(2, dtype=dtype)
+    s_c = jnp.full(2, -1, dtype=jnp.int32)
+    for foot in range(2):
+        mask = foot_ids == foot
+        f_c = f_c.at[foot].set(jnp.max(jnp.where(mask, cout.normal_force, 0.0)))
+        # the stone index of the strongest contact of this foot
+        best = jnp.argmax(jnp.where(mask, cout.normal_force, -1.0))
+        s_c = s_c.at[foot].set(
+            jnp.where(f_c[foot] > 0.0, cout.stone_index[best], -1)
+        )
+    info = StepInfo(
+        foot_contact=f_c > 0.0,
+        foot_stone=s_c,
+        foot_normal_force=f_c,
+        joint_at_limit=at_limit,
+        contact_force_sum=jnp.sum(cout.normal_force),
+    )
+    return PhysicsState(q=q_new, qd=qd_new), info
+
+
+def step(
+    model: RobotModel,
+    state: PhysicsState,
+    tau_j: jnp.ndarray,        # (NJ,) joint torques held over the control step
+    stones: jnp.ndarray,       # (S, 6)
+    stone_radius,
+    use_ground,
+    cparams: ct.ContactParams = ct.ContactParams(),
+    substeps: int = SUBSTEPS,
+):
+    """One 60 Hz control step = `substeps` x 240 Hz dynamics substeps.
+
+    Returns (new_state, StepInfo) where contact flags/forces are OR/max
+    aggregated over substeps so brief touchdowns are not missed.
+    """
+
+    def body(carry, _):
+        st, acc = carry
+        st2, info = _substep(model, st, tau_j, stones, stone_radius, use_ground, cparams)
+        acc2 = StepInfo(
+            foot_contact=acc.foot_contact | info.foot_contact,
+            foot_stone=jnp.where(info.foot_stone >= 0, info.foot_stone, acc.foot_stone),
+            foot_normal_force=jnp.maximum(acc.foot_normal_force, info.foot_normal_force),
+            joint_at_limit=info.joint_at_limit,
+            contact_force_sum=acc.contact_force_sum + info.contact_force_sum,
+        )
+        return (st2, acc2), None
+
+    dtype = state.q.dtype
+    init = StepInfo(
+        foot_contact=jnp.zeros(2, dtype=bool),
+        foot_stone=jnp.full(2, -1, dtype=jnp.int32),
+        foot_normal_force=jnp.zeros(2, dtype=dtype),
+        joint_at_limit=jnp.zeros(model.njoints, dtype=bool),
+        contact_force_sum=jnp.zeros((), dtype=dtype),
+    )
+    (state, info), _ = jax.lax.scan(body, (state, init), None, length=substeps)
+    return state, info
+
+
+def default_state(model: RobotModel, dtype=jnp.float32) -> PhysicsState:
+    q = jnp.concatenate(
+        [
+            jnp.array([0.0, 0.0, model.root_height], dtype=dtype),
+            qt.identity(dtype),
+            jnp.asarray(model.init_q_joints, dtype=dtype),
+        ]
+    )
+    return PhysicsState(q=q, qd=jnp.zeros(model.ndof, dtype=dtype))

@@ -1,0 +1,147 @@
+"""Env contract tests: dims (oracle: reference checkpoints, SURVEY.md §2.8),
+mirror-index consistency, terrain sampling, auto-reset, temp states."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from steppingstone_tpu.envs import make_env
+from steppingstone_tpu.envs import terrain as terr
+from steppingstone_tpu.envs.stepper import create_temp_states, observe
+from steppingstone_tpu.envs.vector import VecEnv
+
+
+@pytest.fixture(scope="module")
+def walker():
+    return make_env("mocca_envs:Walker3DStepperEnv-v0")
+
+
+@pytest.fixture(scope="module")
+def cassie():
+    return make_env("CassieStepper-v1")
+
+
+def test_dims_match_reference_checkpoints(walker, cassie):
+    assert walker.observation_dim == 60 and walker.action_dim == 21
+    assert cassie.observation_dim == 51 and cassie.action_dim == 10
+    mike = make_env("MikeStepperEnv-v0")
+    assert mike.observation_dim == 60 and mike.action_dim == 21
+
+
+def test_reset_obs_shape_and_finite(walker, cassie):
+    for env in (walker, cassie):
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs.shape == (env.observation_dim,)
+        assert np.isfinite(np.asarray(obs)).all()
+        assert int(state.next_step_index) == 1
+
+
+def test_step_runs_and_is_finite(walker):
+    state, obs = walker.reset(jax.random.PRNGKey(1))
+    step = jax.jit(walker.step)
+    for i in range(3):
+        action = 0.1 * jax.random.normal(jax.random.PRNGKey(i), (walker.action_dim,))
+        state, out = step(state, action)
+        assert out.obs.shape == (60,)
+        assert np.isfinite(np.asarray(out.obs)).all()
+        assert np.isfinite(float(out.reward))
+
+
+def test_terrain_level0_is_easy():
+    cur = terr.default_curriculum(0)
+    t = terr.generate_terrain(jax.random.PRNGKey(0), cur, 24)
+    # level 0: no yaw/pitch/tilt variation, spacing in the easy band
+    d = np.diff(np.asarray(t[1:, :2]), axis=0)
+    dists = np.linalg.norm(d, axis=1)
+    assert (dists > 0.6).all() and (dists < 1.0).all()
+    assert np.allclose(np.asarray(t[:, 2]), 0.0, atol=1e-5)
+    assert np.allclose(np.asarray(t[:, 4:6]), 0.0, atol=1e-6)
+
+
+def test_terrain_level5_spans_range():
+    cur = terr.default_curriculum(5)
+    t = terr.generate_terrain(jax.random.PRNGKey(0), cur, 200)
+    yaw_deltas = np.diff(np.asarray(t[1:, 3]))
+    assert np.abs(yaw_deltas).max() > 0.5  # wide turns appear
+    assert np.abs(np.asarray(t[:, 2])).max() > 0.3  # vertical variation
+
+
+def test_sample_prob_distribution():
+    """With a one-hot grid probability, sampled placements concentrate on
+    that (yaw, pitch) cell."""
+    cur = terr.default_curriculum(5)
+    p = jnp.zeros((terr.GRID, terr.GRID)).at[2, 7].set(1.0)
+    cur = cur._replace(sample_prob=p, use_prob=jnp.asarray(True))
+    keys = jax.random.split(jax.random.PRNGKey(3), 64)
+    rs, yaws, pitches, _, _ = jax.vmap(lambda k: terr.sample_step_params(k, cur))(keys)
+    assert np.allclose(np.asarray(yaws), terr.YAW_SAMPLES[2], atol=1e-5)
+    assert np.allclose(np.asarray(pitches), terr.PITCH_SAMPLES[7], atol=1e-5)
+
+
+def test_mirror_indices_involution(walker, cassie):
+    """Mirroring an obs twice must be the identity, and index sets must be
+    disjoint/valid (reference `get_mirror_function`, envs_utils.py:687-740)."""
+    for env in (walker, cassie):
+        neg, right, left, neg_a, right_a, left_a = env.get_mirror_indices()
+        D, A = env.observation_dim, env.action_dim
+        assert len(right) == len(left)
+        assert len(right_a) == len(left_a)
+        for arr, n in [(neg, D), (right, D), (left, D), (neg_a, A), (right_a, A), (left_a, A)]:
+            assert (arr >= 0).all() and (arr < n).all()
+        assert not set(right) & set(left)
+
+        obs = np.random.RandomState(0).randn(D).astype(np.float32)
+
+        def mirror(x):
+            y = x.copy()
+            y[neg] *= -1
+            y[np.concatenate([right, left])] = y[np.concatenate([left, right])]
+            return y
+
+        assert np.allclose(mirror(mirror(obs)), obs)
+
+
+def test_temp_states_shape(walker):
+    state, _ = walker.reset(jax.random.PRNGKey(0))
+    ts = create_temp_states(walker.cfg, state)
+    assert ts.shape == (terr.GRID * terr.GRID, 60)
+    assert np.isfinite(np.asarray(ts)).all()
+    # candidates differ only in the lookahead-target features
+    base = np.asarray(observe(walker.cfg, state))
+    diffs = np.abs(np.asarray(ts) - base[None]).max(axis=0)
+    assert (diffs[:52] < 1e-5).all()
+    assert diffs[56:].max() > 0.01  # second target varies
+
+
+def test_vec_env_and_autoreset(walker):
+    n = 4
+    venv = VecEnv(walker, n)
+    state, obs = venv.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (n, 60)
+    step = jax.jit(venv.step)
+    # hard random actions for a while: someone should fall and auto-reset
+    key = jax.random.PRNGKey(1)
+    saw_done = False
+    for i in range(40):
+        key, k = jax.random.split(key)
+        actions = jax.random.uniform(k, (n, 21), minval=-1, maxval=1)
+        state, out = step(state, actions)
+        if bool(out.done.any()):
+            saw_done = True
+            # episodes that ended report their return; fresh obs are finite
+            assert np.isfinite(np.asarray(out.ep_return)).all()
+    assert saw_done
+    assert np.asarray(state.elapsed).max() <= 40
+    assert np.isfinite(np.asarray(out.obs)).all()
+
+
+def test_update_curriculum_and_sample_prob(walker):
+    venv = VecEnv(walker, 3)
+    state, _ = venv.reset(jax.random.PRNGKey(0))
+    state = venv.update_curriculum(state, 4)
+    assert (np.asarray(state.cur.level) == 4).all()
+    p = jnp.ones((terr.GRID, terr.GRID))
+    state = venv.update_sample_prob(state, p)
+    assert np.allclose(np.asarray(state.cur.sample_prob).sum(axis=(1, 2)), 1.0)
+    assert np.asarray(state.cur.use_prob).all()
