@@ -1,0 +1,171 @@
+"""Typed experiment configuration with `k=v` CLI overrides.
+
+Re-design of the reference's sacred setup (`playground/train.py:35-87`,
+`common/sacred_utils.py:19-61`): same keys and defaults, same
+`python -m ... with`-style `k=v` override grammar (the `with` word is
+optional), config snapshot written to `configs.json` plus a `run.json`
+with host/git metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import json
+import os
+import platform
+import subprocess
+import sys
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    env_name: str = "CassieStepper-v1"
+
+    # auxiliary (reference train.py:39-56)
+    num_frames: float = 20e7
+    seed: int = 8
+    save_every: float = 1e7
+    log_interval: int = 1
+    load_saved_controller: bool = False
+    net: Optional[str] = None          # explicit checkpoint path for warm start
+    use_mirror: bool = False
+    use_phase_mirror: bool = False
+    use_curriculum: bool = False
+    use_adaptive_sampling: bool = False
+    use_specialist: bool = False
+    use_threshold_sampling: bool = False
+    save_sampling_prob: bool = False
+    plot_prob: bool = False
+
+    # sampling (reference train.py:59-67)
+    episode_steps: int = 40000          # frames per update
+    num_processes: int = 100            # now: batched envs in one program
+    mini_batch_size: int = 1024
+    num_tests: int = 4
+    test_interval: int = 1              # reference evaluates every update
+    num_ensembles: int = 1
+    sampling_scale: int = 150
+    curriculum_threshold: float = 0.85
+
+    # algorithm (reference train.py:69-87)
+    use_gae: bool = True
+    lr_decay_type: str = "exponential"
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    lr: float = 3e-4
+    use_clipped_value_loss: bool = False
+    entropy_coef: float = 0.0
+    value_loss_coef: float = 1.0
+    ppo_epoch: int = 10
+    clip_param: float = 0.2
+    eps: float = 1e-5
+    max_grad_norm: float = 2.0
+
+    # experiment bookkeeping
+    experiment_dir: str = "runs/latest"
+    replicate_num: int = 1
+
+    # TPU-native extras (no reference analog)
+    mesh_devices: int = 0               # 0 = all visible devices
+    checkpoint_async: bool = True
+
+    # ---- derived (reference computes these in-config, train.py:59-63) --
+    @property
+    def num_steps(self) -> int:
+        return self.episode_steps // self.num_processes
+
+    @property
+    def num_mini_batch(self) -> int:
+        return max(1, self.episode_steps // self.mini_batch_size)
+
+    @property
+    def num_updates(self) -> int:
+        return int(self.num_frames) // self.num_steps // self.num_processes
+
+    def validate(self):
+        assert self.episode_steps % self.num_processes == 0, (
+            "episode_steps must divide evenly into num_processes "
+            f"({self.episode_steps} % {self.num_processes})"
+        )
+        assert self.num_steps > 0 and self.num_updates > 0
+
+
+_BOOLS = {"true": True, "false": False, "1": True, "0": False,
+          "yes": True, "no": False, "t": True, "f": False}
+
+
+def _coerce(field_type, raw: str):
+    if field_type in (bool, Optional[bool]):
+        return _BOOLS[raw.lower()]
+    if field_type in (int,):
+        return int(float(raw))
+    if field_type in (float,):
+        return float(raw)
+    if field_type in (Optional[str], str):
+        return None if raw.lower() == "none" else raw
+    return raw
+
+
+def parse_cli(argv=None, base: TrainConfig | None = None) -> TrainConfig:
+    """Parse `k=v` overrides (sacred's `with k=v` grammar, reference
+    `scripts/local_run_playground_train.sh:25`)."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = dataclasses.replace(base) if base else TrainConfig()
+    fields = {f.name: f for f in dataclasses.fields(TrainConfig)}
+    for arg in argv:
+        if arg == "with":
+            continue
+        if "=" not in arg:
+            raise SystemExit(f"expected k=v override, got {arg!r}")
+        k, v = arg.split("=", 1)
+        if k not in fields:
+            raise SystemExit(
+                f"unknown config key {k!r}; known: {sorted(fields)}"
+            )
+        setattr(cfg, k, _coerce(_annotation_of(k), v))
+    cfg.validate()
+    return cfg
+
+
+def _annotation_of(name: str):
+    # dataclass stores annotations as strings under `from __future__ import
+    # annotations`; resolve the common ones
+    ann = TrainConfig.__annotations__[name]
+    return {"str": str, "int": int, "float": float, "bool": bool,
+            "Optional[str]": Optional[str]}.get(ann, str)
+
+
+def _git_info():
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            timeout=5, cwd=os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ).stdout.strip()
+        return {"commit": commit}
+    except Exception:
+        return {}
+
+
+def init_experiment(cfg: TrainConfig) -> str:
+    """Create the experiment dir and write configs.json / run.json
+    (reference `sacred_utils.py:42-55`). Returns the experiment dir.
+
+    Replicate seeding follows the reference: seed += (replicate_num - 1) *
+    num_processes (`sacred_utils.py:34`).
+    """
+    cfg.seed = cfg.seed + (cfg.replicate_num - 1) * cfg.num_processes
+    os.makedirs(cfg.experiment_dir, exist_ok=True)
+    with open(os.path.join(cfg.experiment_dir, "configs.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, sort_keys=True)
+    run_meta = {
+        "start_time": datetime.datetime.now().isoformat(),
+        "host": platform.node(),
+        "python": sys.version,
+        "argv": sys.argv,
+        **_git_info(),
+    }
+    with open(os.path.join(cfg.experiment_dir, "run.json"), "w") as f:
+        json.dump(run_meta, f, indent=2)
+    return cfg.experiment_dir

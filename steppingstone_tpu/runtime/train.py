@@ -1,0 +1,331 @@
+"""Training driver: the reference's `playground/train.py` re-designed so
+that one update = one compiled XLA program.
+
+Structure (host loop per update, everything heavy on device):
+
+1. LR schedule on host -> scalar arg (no retrace; reference re-sets the
+   optimizer lr per update, train.py:213-220)
+2. curriculum pre-hooks (adaptive/threshold sampling evals, jitted)
+3. `train_iteration` jit: rollout scan (T steps x N envs) -> bootstrap
+   value -> GAE -> advantage normalization -> PPO epoch/minibatch scans
+4. deterministic test-fleet rollout (jitted) every `test_interval`
+5. fixed-curriculum advance on mean episode reward > 1000
+6. checkpoints (latest / best / numbered) + progress.csv logging
+
+Run:  python -m steppingstone_tpu.runtime.train [with] k=v ...
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from steppingstone_tpu.agents import distributions as dist
+from steppingstone_tpu.agents.gae import compute_gae, normalize_advantages
+from steppingstone_tpu.agents.mirror import MirrorSpec
+from steppingstone_tpu.agents.networks import ActorCritic, reset_logstd
+from steppingstone_tpu.agents.ppo import PPOConfig, make_optimizer, ppo_update
+from steppingstone_tpu.agents.rollout import EpisodeStats, collect_rollout, evaluate
+from steppingstone_tpu.envs import make_env
+from steppingstone_tpu.envs.vector import VecEnv
+from steppingstone_tpu.runtime import curriculum as curr
+from steppingstone_tpu.runtime.checkpoint import CheckpointManager, host_pytree
+from steppingstone_tpu.runtime.config import TrainConfig, init_experiment, parse_cli
+from steppingstone_tpu.runtime.loggers import ConsoleCSVLogger
+from steppingstone_tpu.runtime.schedules import exponential_decay, linear_decay
+
+
+class Trainer:
+    """Wires config -> env fleet -> networks -> compiled update."""
+
+    def __init__(self, cfg: TrainConfig):
+        cfg.validate()
+        self.cfg = cfg
+        self.env = make_env(cfg.env_name)
+        self.venv = VecEnv(self.env, cfg.num_processes)
+        self.test_venv = (
+            VecEnv(self.env, cfg.num_tests) if cfg.num_tests > 0 else None
+        )
+
+        self.net = ActorCritic(
+            action_dim=self.env.action_dim, num_ensembles=cfg.num_ensembles
+        )
+        mirror = MirrorSpec.from_env(self.env) if cfg.use_mirror else None
+        self.ppo_cfg = PPOConfig(
+            clip_param=cfg.clip_param,
+            ppo_epoch=cfg.ppo_epoch,
+            num_mini_batch=cfg.num_mini_batch,
+            value_loss_coef=cfg.value_loss_coef,
+            entropy_coef=cfg.entropy_coef,
+            max_grad_norm=cfg.max_grad_norm,
+            eps=cfg.eps,
+            use_clipped_value_loss=cfg.use_clipped_value_loss,
+            mirror=mirror,
+        )
+        self.tx = make_optimizer(self.ppo_cfg)
+
+        # ---- device mesh: shard the env batch, replicate the learner ---
+        from steppingstone_tpu.parallel import mesh as pmesh
+
+        n_dev = cfg.mesh_devices or len(jax.devices())
+        if n_dev > 1:
+            assert cfg.num_processes % n_dev == 0, (
+                f"num_processes={cfg.num_processes} must divide over "
+                f"{n_dev} devices"
+            )
+            self.mesh = pmesh.make_mesh(n_dev)
+            env_s = pmesh.env_sharding(self.mesh)
+            repl = pmesh.replicated(self.mesh)
+            self._train_iteration = jax.jit(
+                self._train_iteration_impl,
+                donate_argnums=(0, 1, 2, 3, 4),
+                in_shardings=(repl, repl, env_s, env_s, env_s, repl, repl),
+                out_shardings=(repl, repl, env_s, env_s, env_s, repl, repl, repl),
+            )
+            test_ok = cfg.num_tests % n_dev == 0
+            self._test_eval = jax.jit(
+                self._test_eval_impl,
+                donate_argnums=(1, 2),
+                in_shardings=(repl, env_s, env_s, repl) if test_ok else None,
+                out_shardings=(env_s, env_s, env_s) if test_ok else None,
+            )
+        else:
+            self.mesh = None
+            self._train_iteration = jax.jit(
+                self._train_iteration_impl, donate_argnums=(0, 1, 2, 3, 4)
+            )
+            self._test_eval = jax.jit(self._test_eval_impl, donate_argnums=(1, 2))
+
+    # ------------------------------------------------------------------
+    def init_params(self, key):
+        cfg = self.cfg
+        obs_dim = self.env.observation_dim
+        if cfg.load_saved_controller or cfg.net:
+            from steppingstone_tpu.runtime.torch_import import load_reference_checkpoint
+
+            path = cfg.net or os.path.join(
+                "/root/reference/playground/models",
+                f"{cfg.env_name}_base.pt",
+            )
+            print(f"Loading model {path}", flush=True)
+            params, n_critics = load_reference_checkpoint(path, self.env.action_dim)
+            if n_critics != cfg.num_ensembles:
+                raise SystemExit(
+                    f"checkpoint has {n_critics} critics, config wants "
+                    f"{cfg.num_ensembles} (set num_ensembles={n_critics})"
+                )
+            # reference resets exploration noise on warm start
+            # (train.py:153, controller.py:102)
+            return reset_logstd(params)
+        return self.net.init(key, jnp.zeros((1, obs_dim)))
+
+    # ------------------------------------------------------------------
+    def _train_iteration_impl(self, params, opt_state, env_state, obs, stats, key, lr):
+        cfg = self.cfg
+        key, k_roll, k_upd = jax.random.split(key, 3)
+        env_state, obs, stats, traj, hits = collect_rollout(
+            self.venv.step, self.net.apply, params, env_state, obs, stats,
+            k_roll, cfg.num_steps,
+        )
+        last_value = self.net.apply(params, obs, method="value")  # (N, 1)
+
+        values = jnp.concatenate(
+            [traj.values[..., 0], last_value.T], axis=0
+        )  # (T+1, N)
+        ones = jnp.ones_like(traj.masks[:1])
+        masks = jnp.concatenate([ones, traj.masks], axis=0)
+        bad_masks = jnp.concatenate([ones, traj.bad_masks], axis=0)
+        returns, adv = compute_gae(
+            traj.rewards, values, masks, bad_masks, cfg.gamma, cfg.gae_lambda
+        )
+        adv = normalize_advantages(adv)
+
+        T, N = traj.rewards.shape
+        flat = lambda x: x.reshape(T * N, *x.shape[2:])
+        batch = dict(
+            obs=flat(traj.obs),
+            actions=flat(traj.actions),
+            log_probs=flat(traj.log_probs),
+            values=flat(traj.values),
+            returns=flat(returns[..., None]),
+            adv=flat(adv[..., None]),
+        )
+        params, opt_state, metrics = ppo_update(
+            self.net.apply, self.tx, self.ppo_cfg, params, opt_state,
+            batch, k_upd, lr,
+        )
+        return params, opt_state, env_state, obs, stats, key, metrics, hits
+
+    def _test_eval_impl(self, params, test_state, test_obs, key):
+        return evaluate(
+            self.test_venv.step, self.net.apply, params, test_state, test_obs,
+            key, self.env._max_episode_steps,
+        )
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        exp_dir = init_experiment(cfg)
+        key = jax.random.PRNGKey(cfg.seed)
+        key, k_init, k_env, k_test = jax.random.split(key, 4)
+
+        params = self.init_params(k_init)
+        opt_state = self.tx.init(params)
+        env_state, obs = self.venv.reset(k_env)
+        if self.test_venv is not None:
+            test_state, test_obs = self.test_venv.reset(k_test)
+        stats = EpisodeStats.init(cfg.num_processes)
+
+        if self.mesh is not None:
+            from steppingstone_tpu.parallel import mesh as pmesh
+
+            params = pmesh.replicate_tree(self.mesh, params)
+            opt_state = pmesh.replicate_tree(self.mesh, opt_state)
+            env_state = pmesh.shard_env_tree(self.mesh, env_state)
+            obs = pmesh.shard_env_tree(self.mesh, obs)
+            stats = pmesh.shard_env_tree(self.mesh, stats)
+
+        # ---- curriculum strategies -----------------------------------
+        fixed = curr.FixedCurriculum(self.venv) if cfg.use_curriculum else None
+        if fixed:
+            print("curriculum", fixed.level, flush=True)
+            env_state = fixed.install(env_state)
+        specialist = (
+            curr.SpecialistSchedule(self.venv) if cfg.use_specialist else None
+        )
+        if specialist:
+            env_state = specialist.install(env_state)
+        adaptive = (
+            curr.AdaptiveSampling(self.venv, self.env, self.net.apply)
+            if cfg.use_adaptive_sampling else None
+        )
+        threshold = (
+            curr.ThresholdSampling(
+                self.venv, self.env, self.net.apply,
+                threshold=cfg.curriculum_threshold,
+            )
+            if cfg.use_threshold_sampling else None
+        )
+
+        ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
+        logger = ConsoleCSVLogger(exp_dir, console_log_interval=cfg.log_interval)
+        sampling_prob_log = []
+
+        start = time.time()
+        next_checkpoint = cfg.save_every
+        max_ep_reward = float("-inf")
+        test_rets = np.zeros(0)
+
+        for j in range(cfg.num_updates):
+            # ---- LR schedule (reference train.py:213-220) -------------
+            if cfg.lr_decay_type == "linear":
+                lr = linear_decay(j, cfg.num_updates, cfg.lr, final_value=0.0)
+            elif cfg.lr_decay_type == "exponential":
+                lr = exponential_decay(j, 0.99, cfg.lr, final_value=3e-5)
+            else:
+                lr = cfg.lr
+
+            # ---- curriculum pre-hooks --------------------------------
+            key, k_curr = jax.random.split(key)
+            if threshold:
+                env_state = threshold.pre_update(env_state, params, k_curr)
+                if threshold.last_probs is not None and cfg.save_sampling_prob:
+                    sampling_prob_log.append(threshold.last_probs)
+            if adaptive:
+                env_state = adaptive.pre_update(env_state, params, k_curr)
+                if adaptive.last_probs is not None and cfg.save_sampling_prob:
+                    sampling_prob_log.append(adaptive.last_probs)
+
+            # ---- the compiled update ---------------------------------
+            (params, opt_state, env_state, obs, stats, key, metrics, hits) = (
+                self._train_iteration(
+                    params, opt_state, env_state, obs, stats, key,
+                    jnp.asarray(lr, jnp.float32),
+                )
+            )
+
+            # ---- test fleet (reference train.py:472-500) -------------
+            if cfg.num_tests > 0 and (j % cfg.test_interval == 0):
+                key, k_t = jax.random.split(key)
+                test_state, test_obs, test_stats = self._test_eval(
+                    params, test_state, test_obs, k_t
+                )
+                tvalid = np.asarray(test_stats.valid)
+                test_rets = np.asarray(test_stats.ret)[tvalid]
+            if threshold:
+                threshold.post_test()
+
+            # ---- episode stats to host -------------------------------
+            valid = np.asarray(stats.valid)
+            rets = np.asarray(stats.ret)[valid]
+            mean_rew = float(rets.mean()) if rets.size else 0.0
+
+            # ---- fixed curriculum / specialist advance ----------------
+            if fixed and rets.size:
+                env_state = fixed.post_update(env_state, mean_rew)
+            if specialist and rets.size:
+                env_state = specialist.post_update(
+                    env_state, mean_rew,
+                    save_fn=lambda k: ckpt.save(
+                        f"specialist_{k}", host_pytree({"params": params})
+                    ),
+                )
+
+            # ---- checkpointing (reference cadence) --------------------
+            frame_count = (j + 1) * cfg.num_steps * cfg.num_processes
+            snap = {
+                "params": params,
+                "opt_state": opt_state,
+                "update": j + 1,
+                "frames": frame_count,
+                "max_ep_reward": max(max_ep_reward, mean_rew),
+            }
+            if frame_count >= next_checkpoint or j == cfg.num_updates - 1:
+                ckpt.save(str(int(next_checkpoint)), host_pytree(snap))
+                next_checkpoint += cfg.save_every
+            ckpt.save("latest", host_pytree(snap))
+            if rets.size > 1 and mean_rew > max_ep_reward:
+                max_ep_reward = mean_rew
+                ckpt.save("best", host_pytree(snap))
+
+            if cfg.save_sampling_prob and sampling_prob_log:
+                import pickle
+
+                with open(
+                    os.path.join(exp_dir, f"{cfg.env_name}_sampling_prob.pkl"), "wb"
+                ) as fp:
+                    pickle.dump(sampling_prob_log, fp)
+
+            # ---- logging (reference train.py:564-578) -----------------
+            if rets.size > 1:
+                elapsed = time.time() - start
+                logger.log_epoch(
+                    {
+                        "iter": j + 1,
+                        "total_num_steps": frame_count,
+                        "fps": int(frame_count / elapsed),
+                        "entropy": float(metrics.dist_entropy),
+                        "value_loss": float(metrics.value_loss),
+                        "action_loss": float(metrics.action_loss),
+                        "stats": {"rew": rets},
+                        "test_stats": {"rew": test_rets if test_rets.size else np.zeros(1)},
+                    }
+                )
+
+        return params
+
+
+def main(argv=None):
+    cfg = parse_cli(argv)
+    trainer = Trainer(cfg)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -127,20 +127,23 @@ def test_ppo_update_improves_surrogate():
     k_act = jax.random.PRNGKey(1)
     actions = dist.sample(k_act, mean0, jnp.broadcast_to(logstd0, mean0.shape))
     log_probs = dist.log_prob(mean0, jnp.broadcast_to(logstd0, mean0.shape), actions)
-    # advantage: positive iff action[0] > mean[0]
-    adv = jnp.sign(actions[:, :1] - mean0[:, :1])
+    # learnable signal: advantage is positive iff the sampled action moved
+    # in the direction of obs[0] on action dim 0 (so the policy can encode
+    # "mean[0] should follow sign(obs[0])")
+    target_dir = jnp.sign(obs[:, :1])
+    adv = jnp.sign((actions[:, :1] - mean0[:, :1]) * target_dir)
     returns = jax.random.normal(jax.random.PRNGKey(2), (B, 1))
     batch = dict(
         obs=obs, actions=actions, log_probs=log_probs,
         values=net.apply(params, obs, method="value"),
         returns=returns, adv=adv,
     )
-    cfg = PPOConfig(ppo_epoch=3, num_mini_batch=4)
+    cfg = PPOConfig(ppo_epoch=10, num_mini_batch=4)
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
     upd = jax.jit(
         lambda p, o, b, k: ppo_update(
-            net.apply, tx, cfg, p, o, b, k, jnp.asarray(3e-4)
+            net.apply, tx, cfg, p, o, b, k, jnp.asarray(1e-3)
         )
     )
     new_params, _, metrics = upd(params, opt_state, batch, jax.random.PRNGKey(3))
@@ -152,9 +155,9 @@ def test_ppo_update_improves_surrogate():
         (np.asarray(net.apply(new_params, obs, method="value")) - np.asarray(returns)) ** 2
     )
     assert v_new < v_old
-    # policy mean shifts toward positive-advantage direction on dim 0
+    # policy mean[0] moves in the direction of sign(obs[0])
     mean1 = net.apply(new_params, obs, method="action_mean")
-    shift = np.mean(np.asarray((mean1 - mean0)[:, 0] * jnp.sign(adv[:, 0])))
+    shift = np.mean(np.asarray((mean1 - mean0)[:, 0]) * np.asarray(target_dir[:, 0]))
     assert shift > 0, shift
 
 
