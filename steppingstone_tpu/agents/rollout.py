@@ -95,12 +95,19 @@ def collect_rollout(
             masks=1.0 - out.done.astype(jnp.float32),
             bad_masks=1.0 - out.timeout.astype(jnp.float32),
         )
-        return (env_state, out.obs, stats, key), (tr, out.hit)
+        ep = (out.done, out.ep_return, out.ep_len)
+        return (env_state, out.obs, stats, key), (tr, out.hit, ep)
 
-    (env_state, obs, stats, _), (traj, hits) = jax.lax.scan(
+    (env_state, obs, stats, _), (traj, hits, episodes) = jax.lax.scan(
         body, (env_state, obs, stats, key), None, length=num_steps
     )
-    return env_state, obs, stats, traj, jnp.sum(hits)
+    aux = dict(
+        hits=jnp.sum(hits),
+        ep_done=episodes[0],     # (T, N) — for Monitor-style episode logs
+        ep_return=episodes[1],
+        ep_len=episodes[2],
+    )
+    return env_state, obs, stats, traj, aux
 
 
 def evaluate(
@@ -116,7 +123,7 @@ def evaluate(
     run `num_steps` (= `_max_episode_steps`) steps and report stats over
     the episodes that completed."""
     stats = EpisodeStats.init(obs.shape[0])
-    env_state, obs, stats, _, _ = collect_rollout(
+    env_state, obs, stats, _, _aux = collect_rollout(
         step_env, apply_fn, params, env_state, obs, stats, key,
         num_steps, deterministic=True,
     )

@@ -53,6 +53,8 @@ class EnvState(NamedTuple):
     update_terrain: jnp.ndarray   # () bool
     foot_contact: jnp.ndarray     # (2,) bool from the last control step
     phase: jnp.ndarray            # () f32 gait clock in [0, 1) (Cassie obs)
+    mirror_enabled: jnp.ndarray   # () bool — reference `set_mirror` flag
+    mirror_episode: jnp.ndarray   # () bool — this episode runs mirrored
 
 
 class StepOut(NamedTuple):
@@ -120,6 +122,16 @@ def _target_features(cfg, root_pos, psi, c, s, stone):
 
 def observe(cfg: StepperConfig, state: EnvState) -> jnp.ndarray:
     return observe_with_terrain(cfg, state, state.terrain)
+
+
+def _mirror_active(cfg: StepperConfig, state: EnvState) -> jnp.ndarray:
+    """Phase-mirror gate (reference `set_mirror` / `use_phase_mirror`,
+    SURVEY.md §2.9 [reconstructed]): clocked envs (Cassie) mirror during
+    the second half of the gait cycle; unclocked envs mirror alternate
+    episodes (drawn at reset)."""
+    if cfg.clock_period:
+        return state.mirror_enabled & (state.phase >= 0.5)
+    return state.mirror_enabled & state.mirror_episode
 
 
 def observe_with_terrain(
@@ -211,6 +223,17 @@ class StepperEnv:
 
     cfg: StepperConfig
     standing_height: float
+    # mirror transform tables, precomputed from get_mirror_indices()
+    mirror_sign_obs: np.ndarray = None
+    mirror_perm_obs: np.ndarray = None
+    mirror_sign_act: np.ndarray = None
+    mirror_perm_act: np.ndarray = None
+
+    def _mirror_obs(self, obs):
+        return obs[..., self.mirror_perm_obs] * jnp.asarray(self.mirror_sign_obs)
+
+    def _mirror_act(self, act):
+        return act[..., self.mirror_perm_act] * jnp.asarray(self.mirror_sign_act)
 
     # -- gym-space analogs ------------------------------------------------
     @property
@@ -238,12 +261,19 @@ class StepperEnv:
     def r_samples(self) -> np.ndarray:
         return terr.R_SAMPLES
 
-    def reset(self, key: jax.Array, cur: terr.CurriculumState | None = None):
+    def reset(
+        self,
+        key: jax.Array,
+        cur: terr.CurriculumState | None = None,
+        mirror_enabled: jnp.ndarray | None = None,
+    ):
         cfg = self.cfg
         model = cfg.model
         if cur is None:
             cur = terr.default_curriculum()
-        k_terr, k_noise, k_state = jax.random.split(key, 3)
+        if mirror_enabled is None:
+            mirror_enabled = jnp.asarray(False)
+        k_terr, k_noise, k_state, k_mir = jax.random.split(key, 4)
         terrain = terr.generate_terrain(k_terr, cur, cfg.n_stones)
 
         base = engine.default_state(model)
@@ -268,9 +298,13 @@ class StepperEnv:
             update_terrain=jnp.asarray(False),
             foot_contact=jnp.zeros(2, dtype=bool),
             phase=jnp.asarray(0.0, jnp.float32),
+            mirror_enabled=jnp.asarray(mirror_enabled),
+            mirror_episode=jax.random.bernoulli(k_mir),
         )
         state = state._replace(prev_dist=self._target_dist(state))
-        return state, observe(cfg, state)
+        obs = observe(cfg, state)
+        obs = jnp.where(_mirror_active(cfg, state), self._mirror_obs(obs), obs)
+        return state, obs
 
     def _target_dist(self, state: EnvState) -> jnp.ndarray:
         cfg = self.cfg
@@ -280,6 +314,11 @@ class StepperEnv:
     def step(self, state: EnvState, action: jnp.ndarray):
         cfg = self.cfg
         model = cfg.model
+        # phase-mirror: the policy acts in mirrored coordinates; un-mirror
+        # its action before it touches the dynamics (reference `set_mirror`)
+        action = jnp.where(
+            _mirror_active(cfg, state), self._mirror_act(action), action
+        )
         qj, qdj = state.phys.q[7:], state.phys.qd[6:]
         if cfg.actuation == "pd":
             tau = engine.pd_actuation(model, action, qj, qdj)
@@ -360,13 +399,19 @@ class StepperEnv:
 
         # ---- auto-reset (reference worker `envs_utils.py:646-649`) ----
         k_reset, k_keep = jax.random.split(k_next)
-        reset_state, reset_obs = self.reset(k_reset, state.cur)
+        reset_state, reset_obs = self.reset(
+            k_reset, state.cur, state.mirror_enabled
+        )
         out_state = jax.tree_util.tree_map(
             lambda a, b: jnp.where(done, a, b),
             reset_state,
             mid._replace(key=k_keep),
         )
-        obs = jnp.where(done, reset_obs, observe(cfg, mid))
+        cont_obs = observe(cfg, mid)
+        cont_obs = jnp.where(
+            _mirror_active(cfg, mid), self._mirror_obs(cont_obs), cont_obs
+        )
+        obs = jnp.where(done, reset_obs, cont_obs)
 
         return out_state, StepOut(
             obs=obs,
@@ -379,6 +424,14 @@ class StepperEnv:
         )
 
     # ---- curriculum RPC analogs (reference `envs_utils.py:560-590`) ---
+    def set_mirror(self, state: EnvState, enabled: bool) -> EnvState:
+        """Reference `set_mirror(bool)` fan-out (envs_utils.py:588-590)."""
+        return state._replace(
+            mirror_enabled=jnp.broadcast_to(
+                jnp.asarray(enabled), state.mirror_enabled.shape
+            )
+        )
+
     def update_curriculum(self, state: EnvState, level) -> EnvState:
         cur = state.cur._replace(
             level=jnp.asarray(level, jnp.int32),
@@ -440,7 +493,22 @@ class StepperEnv:
 # ----------------------------------------------------------------------
 
 def _make(cfg: StepperConfig) -> StepperEnv:
-    return StepperEnv(cfg=cfg, standing_height=_standing_height(cfg))
+    env = StepperEnv(cfg=cfg, standing_height=_standing_height(cfg))
+    neg_o, r_o, l_o, neg_a, r_a, l_a = env.get_mirror_indices()
+
+    def tables(n, neg, right, left):
+        sign = np.ones(n, dtype=np.float32)
+        sign[neg] = -1.0
+        perm = np.arange(n)
+        perm[np.concatenate([right, left])] = perm[np.concatenate([left, right])]
+        return sign, perm
+
+    so, po = tables(cfg.obs_dim, neg_o, r_o, l_o)
+    sa, pa = tables(cfg.action_dim, neg_a, r_a, l_a)
+    return dataclasses.replace(
+        env, mirror_sign_obs=so, mirror_perm_obs=po,
+        mirror_sign_act=sa, mirror_perm_act=pa,
+    )
 
 
 def walker3d_stepper() -> StepperEnv:

@@ -50,6 +50,9 @@ class VecEnv:
         return self._temp_states(state)
 
     # -- curriculum fan-outs --------------------------------------------
+    def set_mirror(self, state: EnvState, enabled: bool) -> EnvState:
+        return self.env.set_mirror(state, enabled)
+
     def update_curriculum(self, state: EnvState, level) -> EnvState:
         cur = state.cur._replace(
             level=jnp.full((self.num_envs,), level, jnp.int32),

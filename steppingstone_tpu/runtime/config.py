@@ -70,6 +70,9 @@ class TrainConfig:
     # TPU-native extras (no reference analog)
     mesh_devices: int = 0               # 0 = all visible devices
     checkpoint_async: bool = True
+    checkpoint_interval: int = 10       # save 'latest' every N updates
+    episode_log: bool = False           # Monitor-style episodes.csv
+    profile_dir: Optional[str] = None   # jax.profiler trace output
 
     # ---- derived (reference computes these in-config, train.py:59-63) --
     @property

@@ -129,7 +129,7 @@ class Trainer:
     def _train_iteration_impl(self, params, opt_state, env_state, obs, stats, key, lr):
         cfg = self.cfg
         key, k_roll, k_upd = jax.random.split(key, 3)
-        env_state, obs, stats, traj, hits = collect_rollout(
+        env_state, obs, stats, traj, aux = collect_rollout(
             self.venv.step, self.net.apply, params, env_state, obs, stats,
             k_roll, cfg.num_steps,
         )
@@ -160,7 +160,7 @@ class Trainer:
             self.net.apply, self.tx, self.ppo_cfg, params, opt_state,
             batch, k_upd, lr,
         )
-        return params, opt_state, env_state, obs, stats, key, metrics, hits
+        return params, opt_state, env_state, obs, stats, key, metrics, aux
 
     def _test_eval_impl(self, params, test_state, test_obs, key):
         return evaluate(
@@ -178,8 +178,13 @@ class Trainer:
         params = self.init_params(k_init)
         opt_state = self.tx.init(params)
         env_state, obs = self.venv.reset(k_env)
+        if cfg.use_phase_mirror:
+            # reference: envs.set_mirror(use_phase_mirror) (train.py:109-111)
+            env_state = self.venv.set_mirror(env_state, True)
         if self.test_venv is not None:
             test_state, test_obs = self.test_venv.reset(k_test)
+            if cfg.use_phase_mirror:
+                test_state = self.test_venv.set_mirror(test_state, True)
         stats = EpisodeStats.init(cfg.num_processes)
 
         if self.mesh is not None:
@@ -223,6 +228,13 @@ class Trainer:
         test_rets = np.zeros(0)
 
         for j in range(cfg.num_updates):
+            # ---- profiling (SURVEY.md §5: tracing subsystem) ----------
+            if cfg.profile_dir is not None and j == 10:
+                jax.profiler.start_trace(cfg.profile_dir)
+            if cfg.profile_dir is not None and j == 13:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {cfg.profile_dir}", flush=True)
+
             # ---- LR schedule (reference train.py:213-220) -------------
             if cfg.lr_decay_type == "linear":
                 lr = linear_decay(j, cfg.num_updates, cfg.lr, final_value=0.0)
@@ -243,12 +255,26 @@ class Trainer:
                     sampling_prob_log.append(adaptive.last_probs)
 
             # ---- the compiled update ---------------------------------
-            (params, opt_state, env_state, obs, stats, key, metrics, hits) = (
+            (params, opt_state, env_state, obs, stats, key, metrics, aux) = (
                 self._train_iteration(
                     params, opt_state, env_state, obs, stats, key,
                     jnp.asarray(lr, jnp.float32),
                 )
             )
+
+            # ---- Monitor-style per-episode log (envs_utils.py:71-194) --
+            if cfg.episode_log:
+                done = np.asarray(aux["ep_done"])
+                if done.any():
+                    t_now = time.time() - start
+                    with open(os.path.join(exp_dir, "episodes.csv"), "a") as f:
+                        if f.tell() == 0:
+                            f.write("r,l,t\n")
+                        for r_, l_ in zip(
+                            np.asarray(aux["ep_return"])[done],
+                            np.asarray(aux["ep_len"])[done],
+                        ):
+                            f.write(f"{r_:.3f},{int(l_)},{t_now:.2f}\n")
 
             # ---- test fleet (reference train.py:472-500) -------------
             if cfg.num_tests > 0 and (j % cfg.test_interval == 0):
@@ -277,6 +303,14 @@ class Trainer:
                     ),
                 )
 
+            # ---- failure detection: NaN watchdog ----------------------
+            if not np.isfinite(float(metrics.value_loss)):
+                ckpt.save("crash", host_pytree({"params": params, "update": j + 1}))
+                raise RuntimeError(
+                    f"non-finite losses at update {j + 1}; state saved to "
+                    f"checkpoints/crash"
+                )
+
             # ---- checkpointing (reference cadence) --------------------
             frame_count = (j + 1) * cfg.num_steps * cfg.num_processes
             snap = {
@@ -289,7 +323,8 @@ class Trainer:
             if frame_count >= next_checkpoint or j == cfg.num_updates - 1:
                 ckpt.save(str(int(next_checkpoint)), host_pytree(snap))
                 next_checkpoint += cfg.save_every
-            ckpt.save("latest", host_pytree(snap))
+            if (j + 1) % cfg.checkpoint_interval == 0 or j == cfg.num_updates - 1:
+                ckpt.save("latest", host_pytree(snap))
             if rets.size > 1 and mean_rew > max_ep_reward:
                 max_ep_reward = mean_rew
                 ckpt.save("best", host_pytree(snap))

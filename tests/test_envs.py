@@ -136,6 +136,29 @@ def test_vec_env_and_autoreset(walker):
     assert np.isfinite(np.asarray(out.obs)).all()
 
 
+def test_phase_mirror(cassie):
+    """set_mirror: in the mirrored half-cycle the obs is the mirror image
+    of the unmirrored obs, and actions are un-mirrored before dynamics."""
+    state, obs = cassie.reset(jax.random.PRNGKey(0))
+    state_m = cassie.set_mirror(state, True)
+    assert bool(state_m.mirror_enabled)
+    # first half of the gait cycle: no mirroring yet
+    from steppingstone_tpu.envs.stepper import observe, _mirror_active
+    assert not bool(_mirror_active(cassie.cfg, state_m))
+    # force phase into the second half
+    state_m2 = state_m._replace(phase=jnp.asarray(0.6))
+    assert bool(_mirror_active(cassie.cfg, state_m2))
+    raw = np.asarray(observe(cassie.cfg, state_m2))
+    mirrored = np.asarray(cassie._mirror_obs(jnp.asarray(raw)))
+    # mirroring twice is identity
+    assert np.allclose(
+        np.asarray(cassie._mirror_obs(jnp.asarray(mirrored))), raw, atol=1e-6
+    )
+    # stepping with the mirror flag produces finite results
+    st, out = jax.jit(cassie.step)(state_m2, jnp.zeros(cassie.action_dim))
+    assert np.isfinite(np.asarray(out.obs)).all()
+
+
 def test_update_curriculum_and_sample_prob(walker):
     venv = VecEnv(walker, 3)
     state, _ = venv.reset(jax.random.PRNGKey(0))
