@@ -52,13 +52,16 @@ def load_params(net_path: str, env, num_ensembles: int):
 
 
 def run_episode(env, net, params, key, max_steps: int, plot_value: bool,
-                curriculum_level: int):
+                curriculum_level: int, specialists=None):
+    """Roll one deterministic episode; `specialists` is an optional list of
+    param trees switched by difficulty level (reference `--use_specialist`,
+    enjoy.py:104-110 + specialist switching)."""
     cfg = env.cfg
     cur = terr.default_curriculum(curriculum_level)
     state, obs = env.reset(key, cur)
 
     @jax.jit
-    def step_fn(state, obs):
+    def step_fn(params, state, obs):
         action, _ = policy_action(net.apply, params, obs, None, True)
         state, out = env.step(state, action)
         return state, out, action
@@ -74,15 +77,29 @@ def run_episode(env, net, params, key, max_steps: int, plot_value: bool,
         v = net.apply(params, temp, method="ensemble_values")
         return jnp.mean(v, axis=-1).reshape(terr.GRID, terr.GRID)
 
+    @jax.jit
+    def value_of(params, obs):
+        return net.apply(params, obs, method="value")[0]
+
     frames, rewards, contacts, value_grids = [], [], [], []
+    actions_log, values_log = [], []
     stones0 = np.asarray(state.terrain)
     total, hits = 0.0, 0
+    active = params
     for t in range(max_steps):
         pos, quat = kin_of(state)
         frames.append((np.asarray(pos), np.asarray(quat)))
-        state, out, action = step_fn(state, obs)
+        if specialists:
+            # switch specialist by how deep into the terrain we are (one
+            # specialist per difficulty band)
+            band = min(int(state.next_step_index) * len(specialists)
+                       // cfg.n_stones, len(specialists) - 1)
+            active = specialists[band]
+        values_log.append(float(value_of(active, obs)))
+        state, out, action = step_fn(active, state, obs)
         obs = out.obs
         rewards.append(float(out.reward))
+        actions_log.append(np.asarray(action))
         contacts.append(np.asarray(state.foot_contact))
         total += float(out.reward)
         hits += int(out.hit)
@@ -93,6 +110,8 @@ def run_episode(env, net, params, key, max_steps: int, plot_value: bool,
     return dict(
         frames=frames,
         rewards=np.array(rewards),
+        actions=np.array(actions_log),
+        values=np.array(values_log),
         contacts=np.array(contacts),
         stones=stones0,
         value_grids=value_grids,
@@ -115,6 +134,8 @@ def main(argv=None):
     ap.add_argument("--curriculum", type=int, default=0)
     ap.add_argument("--num-ensembles", type=int, default=1)
     ap.add_argument("--episodes", type=int, default=1)
+    ap.add_argument("--use-specialist", action="store_true",
+                    help="load <net>_specialist_{0..4} and switch by depth")
     args = ap.parse_args(argv)
 
     env = make_env(args.env)
@@ -129,11 +150,26 @@ def main(argv=None):
     params, n_ens = load_params(args.net, env, args.num_ensembles)
     net = ActorCritic(action_dim=env.action_dim, num_ensembles=max(n_ens, 1))
 
+    specialists = None
+    if args.use_specialist:
+        # reference loads {env}_specialist_{0..4}.pt (enjoy.py:104-110)
+        specialists = []
+        for i in range(5):
+            for cand in (f"{args.net}_specialist_{i}",
+                         args.net.replace("latest", f"specialist_{i}")):
+                if os.path.exists(cand) or os.path.isdir(cand):
+                    specialists.append(load_params(cand, env, n_ens)[0])
+                    break
+        if not specialists:
+            raise SystemExit("no specialist checkpoints found next to --net")
+        print(f"loaded {len(specialists)} specialists")
+
     key = jax.random.PRNGKey(args.seed)
     for ep in range(args.episodes):
         key, k = jax.random.split(key)
         result = run_episode(
-            env, net, params, k, args.steps, args.plot_value, args.curriculum
+            env, net, params, k, args.steps, args.plot_value, args.curriculum,
+            specialists=specialists,
         )
         print(
             f"episode {ep}: reward {result['total_reward']:.1f} over "
@@ -147,8 +183,10 @@ def main(argv=None):
                 path,
                 body_pos=pos, body_quat=quat,
                 rewards=result["rewards"], contacts=result["contacts"],
+                actions=result["actions"], values=result["values"],
                 stones=result["final_terrain"],
                 body_names=np.array(env.cfg.model.body_names),
+                joint_names=np.array(env.cfg.model.joint_names),
                 value_grids=np.array(result["value_grids"])
                 if result["value_grids"] else np.zeros((0, terr.GRID, terr.GRID)),
             )
