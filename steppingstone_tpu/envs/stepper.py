@@ -55,6 +55,8 @@ class EnvState(NamedTuple):
     phase: jnp.ndarray            # () f32 gait clock in [0, 1) (Cassie obs)
     mirror_enabled: jnp.ndarray   # () bool — reference `set_mirror` flag
     mirror_episode: jnp.ndarray   # () bool — this episode runs mirrored
+    robot_power: jnp.ndarray      # () f32 torque scale (set_robot_params)
+    stone_radius: jnp.ndarray     # () f32 disc radius (set_env_params)
 
 
 class StepOut(NamedTuple):
@@ -300,6 +302,8 @@ class StepperEnv:
             phase=jnp.asarray(0.0, jnp.float32),
             mirror_enabled=jnp.asarray(mirror_enabled),
             mirror_episode=jax.random.bernoulli(k_mir),
+            robot_power=jnp.asarray(1.0, jnp.float32),
+            stone_radius=jnp.asarray(cfg.stone_radius, jnp.float32),
         )
         state = state._replace(prev_dist=self._target_dist(state))
         obs = observe(cfg, state)
@@ -324,9 +328,10 @@ class StepperEnv:
             tau = engine.pd_actuation(model, action, qj, qdj)
         else:
             tau = engine.torque_actuation(model, action, qj, qdj)
+        tau = tau * state.robot_power  # set_robot_params power scaling
 
         phys, info = engine.step(
-            model, state.phys, tau, state.terrain, cfg.stone_radius,
+            model, state.phys, tau, state.terrain, state.stone_radius,
             jnp.asarray(False), cfg.contact,
         )
 
@@ -407,6 +412,11 @@ class StepperEnv:
             reset_state,
             mid._replace(key=k_keep),
         )
+        # injected params persist across auto-resets (the reference's
+        # set_env_params/set_robot_params are sticky per worker)
+        out_state = out_state._replace(
+            robot_power=mid.robot_power, stone_radius=mid.stone_radius
+        )
         cont_obs = observe(cfg, mid)
         cont_obs = jnp.where(
             _mirror_active(cfg, mid), self._mirror_obs(cont_obs), cont_obs
@@ -424,6 +434,30 @@ class StepperEnv:
         )
 
     # ---- curriculum RPC analogs (reference `envs_utils.py:560-590`) ---
+    def set_env_params(self, state: EnvState, params: dict) -> EnvState:
+        """Generic env-param injection (reference envs_utils.py:560-563).
+        Supported keys: stone_radius."""
+        if "stone_radius" in params:
+            state = state._replace(
+                stone_radius=jnp.broadcast_to(
+                    jnp.asarray(params["stone_radius"], jnp.float32),
+                    state.stone_radius.shape,
+                )
+            )
+        return state
+
+    def set_robot_params(self, state: EnvState, params: dict) -> EnvState:
+        """Generic robot-param injection (reference envs_utils.py:564-566).
+        Supported keys: power (torque scale)."""
+        if "power" in params:
+            state = state._replace(
+                robot_power=jnp.broadcast_to(
+                    jnp.asarray(params["power"], jnp.float32),
+                    state.robot_power.shape,
+                )
+            )
+        return state
+
     def set_mirror(self, state: EnvState, enabled: bool) -> EnvState:
         """Reference `set_mirror(bool)` fan-out (envs_utils.py:588-590)."""
         return state._replace(

@@ -53,6 +53,12 @@ class VecEnv:
     def set_mirror(self, state: EnvState, enabled: bool) -> EnvState:
         return self.env.set_mirror(state, enabled)
 
+    def set_env_params(self, state: EnvState, params: dict) -> EnvState:
+        return self.env.set_env_params(state, params)
+
+    def set_robot_params(self, state: EnvState, params: dict) -> EnvState:
+        return self.env.set_robot_params(state, params)
+
     def update_curriculum(self, state: EnvState, level) -> EnvState:
         cur = state.cur._replace(
             level=jnp.full((self.num_envs,), level, jnp.int32),

@@ -66,6 +66,7 @@ class TrainConfig:
     # experiment bookkeeping
     experiment_dir: str = "runs/latest"
     replicate_num: int = 1
+    resume: bool = False                # continue from checkpoints/latest
 
     # TPU-native extras (no reference analog)
     mesh_devices: int = 0               # 0 = all visible devices

@@ -226,8 +226,31 @@ class Trainer:
         next_checkpoint = cfg.save_every
         max_ep_reward = float("-inf")
         test_rets = np.zeros(0)
+        start_update = 0
 
-        for j in range(cfg.num_updates):
+        # ---- resume (full learner state; envs restart fresh) ----------
+        if cfg.resume and ckpt.exists("latest"):
+            snap = {
+                "params": host_pytree(params),
+                "opt_state": host_pytree(opt_state),
+                "update": 0, "frames": 0, "max_ep_reward": 0.0,
+            }
+            snap = ckpt.restore("latest", target=snap)
+            params = jax.device_put(snap["params"])
+            opt_state = jax.device_put(snap["opt_state"])
+            start_update = int(snap["update"])
+            max_ep_reward = float(snap["max_ep_reward"])
+            next_checkpoint = (
+                (int(snap["frames"]) // int(cfg.save_every)) + 1
+            ) * cfg.save_every
+            if self.mesh is not None:
+                from steppingstone_tpu.parallel import mesh as pmesh
+
+                params = pmesh.replicate_tree(self.mesh, params)
+                opt_state = pmesh.replicate_tree(self.mesh, opt_state)
+            print(f"resumed from update {start_update}", flush=True)
+
+        for j in range(start_update, cfg.num_updates):
             # ---- profiling (SURVEY.md §5: tracing subsystem) ----------
             if cfg.profile_dir is not None and j == 10:
                 jax.profiler.start_trace(cfg.profile_dir)
@@ -340,11 +363,12 @@ class Trainer:
             # ---- logging (reference train.py:564-578) -----------------
             if rets.size > 1:
                 elapsed = time.time() - start
+                done_frames = frame_count - start_update * cfg.num_steps * cfg.num_processes
                 logger.log_epoch(
                     {
                         "iter": j + 1,
                         "total_num_steps": frame_count,
-                        "fps": int(frame_count / elapsed),
+                        "fps": int(done_frames / elapsed),
                         "entropy": float(metrics.dist_entropy),
                         "value_loss": float(metrics.value_loss),
                         "action_loss": float(metrics.action_loss),

@@ -159,6 +159,26 @@ def test_phase_mirror(cassie):
     assert np.isfinite(np.asarray(out.obs)).all()
 
 
+def test_set_env_and_robot_params(walker):
+    """set_env_params/set_robot_params inject sticky per-env values
+    (reference envs_utils.py:560-566) that survive auto-resets."""
+    state, _ = walker.reset(jax.random.PRNGKey(0))
+    state = walker.set_robot_params(state, {"power": 0.5})
+    state = walker.set_env_params(state, {"stone_radius": 0.4})
+    assert float(state.robot_power) == pytest.approx(0.5)
+    assert float(state.stone_radius) == pytest.approx(0.4)
+    step = jax.jit(walker.step)
+    # force a fall so auto-reset triggers, params must persist
+    key = jax.random.PRNGKey(1)
+    for i in range(40):
+        key, k = jax.random.split(key)
+        state, out = step(state, jax.random.uniform(k, (21,), minval=-1, maxval=1))
+        if bool(out.done):
+            break
+    assert float(state.robot_power) == pytest.approx(0.5)
+    assert float(state.stone_radius) == pytest.approx(0.4)
+
+
 def test_update_curriculum_and_sample_prob(walker):
     venv = VecEnv(walker, 3)
     state, _ = venv.reset(jax.random.PRNGKey(0))
