@@ -42,12 +42,17 @@ def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> Kin:
     pos = [root_pos]
     quat = [root_quat]
     axis = [jnp.zeros(3, dtype=q.dtype)]
+    has_rot = model.joint_rot is not None
     for i in range(1, model.nbodies):
         p = int(model.parent[i])
         anchor = jnp.asarray(model.joint_anchor[i], dtype=q.dtype)
         ax_local = jnp.asarray(model.joint_axis[i], dtype=q.dtype)
         p_i = pos[p] + qt.rotate(quat[p], anchor)
-        q_i = qt.mul(quat[p], qt.from_axis_angle(ax_local, qj[i - 1]))
+        q_parent = quat[p]
+        if has_rot:
+            # fixed frame rotation (URDF <origin rpy>) before the hinge
+            q_parent = qt.mul(q_parent, jnp.asarray(model.joint_rot[i], dtype=q.dtype))
+        q_i = qt.mul(q_parent, qt.from_axis_angle(ax_local, qj[i - 1]))
         pos.append(p_i)
         quat.append(q_i)
         # rotating about own axis leaves it fixed: world axis via parent or self

@@ -62,6 +62,9 @@ class RobotModel:
     # indices into the *action* vector for each actuated joint, and initial pose
     init_q_joints: np.ndarray  # (NJ,) initial joint angles
     root_height: float         # initial root height above the stance surface
+    # (NB, 4) fixed wxyz rotation from parent frame to the joint frame at
+    # q=0 — identity for hand-built models; URDF <origin rpy> lands here
+    joint_rot: np.ndarray | None = None
 
     # ------------------------------------------------------------------
     @property
