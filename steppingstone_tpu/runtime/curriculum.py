@@ -32,7 +32,8 @@ N_EVENTS = 5          # stone-hit events per evaluation (train.py:259,353)
 MAX_EVAL_STEPS = 600  # cap; the reference loops until 5 events
 
 
-def make_value_grid_fn(env: StepperEnv, apply_fn: Callable):
+def make_value_grid_fn(env: StepperEnv, apply_fn: Callable,
+                       max_steps: int = MAX_EVAL_STEPS):
     """Jitted: deterministic single-env rollout accumulating the candidate
     value grid over the first N_EVENTS terrain updates."""
 
@@ -63,7 +64,7 @@ def make_value_grid_fn(env: StepperEnv, apply_fn: Callable):
 
         init = (state, obs, jnp.zeros(terr.GRID * terr.GRID), jnp.asarray(0, jnp.int32))
         (state, obs, grid, count), _ = jax.lax.scan(
-            body, init, None, length=MAX_EVAL_STEPS
+            body, init, None, length=max_steps
         )
         # normalize like the reference: metric /= max |metric| (train.py:354)
         grid = grid / (jnp.max(jnp.abs(grid)) + 1e-8)
