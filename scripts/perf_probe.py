@@ -164,3 +164,22 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# appended: unrolled-solve comparison
+def extra():
+    from steppingstone_tpu.ops.linalg import cholesky_solve
+    key = jax.random.PRNGKey(0)
+    qs, qds = batch_state(key)
+
+    @jax.jit
+    def crba(qs, qds):
+        def one(q, qd):
+            kin = km.forward_kinematics(model, q)
+            vel = km.body_velocities(model, kin, qd)
+            phi = dyn.dof_axes(model, kin)
+            return dyn.mass_matrix(model, kin, phi), dyn.bias_forces(model, kin, vel, phi, None)
+        return jax.vmap(one)(qs, qds)
+
+    M, C = crba(qs, qds)
+    M = M + 1e-4 * jnp.eye(model.ndof)
+    timeit("unrolled cholesky_solve", jax.jit(cholesky_solve), M, C)

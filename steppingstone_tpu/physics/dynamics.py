@@ -17,9 +17,9 @@ from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.linalg import solve_triangular
 
 from steppingstone_tpu.core import spatial as sp
+from steppingstone_tpu.ops.linalg import cholesky_solve
 from steppingstone_tpu.physics.kinematics import Kin
 from steppingstone_tpu.physics.model import RobotModel
 
@@ -153,11 +153,9 @@ def forward_dynamics(
     if stiffness_diag is not None:
         lhs_diag = lhs_diag + (dt * dt) * stiffness_diag
     M = M + jnp.diagflat(lhs_diag)
+    # unrolled batched solve: ~20x faster than XLA's batched
+    # cholesky+triangular_solve at (4096, 27, 27) on TPU (ops/linalg.py)
     if fixed_base:
-        L = jnp.linalg.cholesky(M[6:, 6:])
-        y = solve_triangular(L, rhs[6:], lower=True)
-        qdd_j = solve_triangular(L.T, y, lower=False)
+        qdd_j = cholesky_solve(M[6:, 6:], rhs[6:])
         return jnp.concatenate([jnp.zeros(6, dtype=M.dtype), qdd_j])
-    L = jnp.linalg.cholesky(M)
-    y = solve_triangular(L, rhs, lower=True)
-    return solve_triangular(L.T, y, lower=False)
+    return cholesky_solve(M, rhs)
