@@ -147,7 +147,7 @@ def _substep(model, state, tau_j, stones, stone_radius, use_ground, cparams):
     return PhysicsState(q=q_new, qd=qd_new), info
 
 
-def step(
+def _step_scan(
     model: RobotModel,
     state: PhysicsState,
     tau_j: jnp.ndarray,        # (NJ,) joint torques held over the control step
@@ -185,6 +185,99 @@ def step(
     )
     (state, info), _ = jax.lax.scan(body, (state, init), None, length=substeps)
     return state, info
+
+
+# ---------------------------------------------------------------------------
+# public step: custom-vmap dispatch between the jnp scan (single env / CPU)
+# and the fused Pallas control-step kernel (TPU, batch % 1024 == 0)
+# ---------------------------------------------------------------------------
+
+PALLAS_ENABLED = True  # Trainer disables this under a multi-device mesh
+                       # (pallas_call does not GSPMD-partition under pjit)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _step_core(model: RobotModel, cparams: ct.ContactParams, substeps: int, n_stones: int):
+    from jax.custom_batching import custom_vmap
+
+    def plain(q, qd, tau_j, stones, stone_radius, use_ground):
+        st, info = _step_scan(
+            model, PhysicsState(q, qd), tau_j, stones, stone_radius,
+            use_ground, cparams, substeps,
+        )
+        return st.q, st.qd, info
+
+    @custom_vmap
+    def core(q, qd, tau_j, stones, stone_radius, use_ground):
+        return plain(q, qd, tau_j, stones, stone_radius, use_ground)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, q, qd, tau_j, stones, stone_radius, use_ground):
+        from steppingstone_tpu.physics import pallas_step
+        from steppingstone_tpu.physics.dynamics import GRAVITY
+
+        qb, qdb, taub, stb, srb, ugb = in_batched
+        use_pallas = (
+            PALLAS_ENABLED
+            and jax.default_backend() == "tpu"
+            and axis_size % pallas_step.TILE == 0
+            and model.joint_rot is None
+            and qb and qdb and taub and stb
+        )
+        if use_pallas:
+            sr = stone_radius if srb else jnp.broadcast_to(stone_radius, (axis_size,))
+            ug = use_ground if ugb else jnp.broadcast_to(use_ground, (axis_size,))
+            fn = pallas_step.build_batched_step(
+                model, cparams, substeps, n_stones,
+                SIM_DT, LIMIT_K, LIMIT_C, MAX_QD, GRAVITY,
+            )
+            qn, qdn, d = fn(q, qd, tau_j, stones, sr, ug)
+            out = (
+                qn,
+                qdn,
+                StepInfo(
+                    foot_contact=d["foot_contact"],
+                    foot_stone=d["foot_stone"],
+                    foot_normal_force=d["foot_normal_force"],
+                    joint_at_limit=d["joint_at_limit"],
+                    contact_force_sum=d["contact_force_sum"],
+                ),
+            )
+        else:
+            out = jax.vmap(
+                plain,
+                in_axes=(
+                    0 if qb else None, 0 if qdb else None, 0 if taub else None,
+                    0 if stb else None, 0 if srb else None, 0 if ugb else None,
+                ),
+            )(q, qd, tau_j, stones, stone_radius, use_ground)
+        return out, jax.tree.map(lambda _: True, out)
+
+    return core
+
+
+def step(
+    model: RobotModel,
+    state: PhysicsState,
+    tau_j: jnp.ndarray,
+    stones: jnp.ndarray,
+    stone_radius,
+    use_ground,
+    cparams: ct.ContactParams = ct.ContactParams(),
+    substeps: int = SUBSTEPS,
+):
+    """One 60 Hz control step (see `_step_scan`). Under `vmap` over envs on
+    TPU this dispatches to the fused Pallas kernel (physics/pallas_step.py);
+    otherwise it runs the jnp substep scan."""
+    core = _step_core(model, cparams, substeps, int(stones.shape[-2]))
+    qn, qdn, info = core(
+        state.q, state.qd, jnp.asarray(tau_j), jnp.asarray(stones),
+        jnp.asarray(stone_radius), jnp.asarray(use_ground),
+    )
+    return PhysicsState(qn, qdn), info
 
 
 def default_state(model: RobotModel, dtype=jnp.float32) -> PhysicsState:

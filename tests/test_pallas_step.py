@@ -1,0 +1,76 @@
+"""Parity: the fused Pallas control-step kernel vs the jnp substep scan.
+
+Runs the kernel in interpreter mode (no TPU needed) on one 1024-env tile
+and checks q/qd/diagnostics against `engine._step_scan` under `vmap`.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from steppingstone_tpu.physics import contact as ct
+from steppingstone_tpu.physics import engine
+from steppingstone_tpu.physics import pallas_step
+from steppingstone_tpu.physics.dynamics import GRAVITY
+from steppingstone_tpu.physics.robots.walker3d import walker3d
+
+B = pallas_step.TILE
+N_STONES = 6
+
+
+def _random_inputs(key, model):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    st = engine.default_state(model)
+    q = jnp.tile(st.q, (B, 1))
+    q = q.at[:, 2].add(0.05 * jax.random.normal(k1, (B,)))
+    q = q.at[:, 7:].add(0.1 * jax.random.normal(k1, (B, model.njoints)))
+    qd = 0.3 * jax.random.normal(k2, (B, model.ndof))
+    tau = 20.0 * jax.random.normal(k3, (B, model.njoints))
+    # stones scattered under the feet so some contacts engage
+    stones = jnp.zeros((B, N_STONES, 6))
+    stones = stones.at[:, :, 0].set(jax.random.uniform(k4, (B, N_STONES), minval=-0.5, maxval=0.5))
+    stones = stones.at[:, :, 1].set(jax.random.uniform(k4, (B, N_STONES), minval=-0.4, maxval=0.4))
+    stones = stones.at[:, :, 2].set(jax.random.uniform(k4, (B, N_STONES), minval=-0.05, maxval=0.02))
+    stones = stones.at[:, :, 4].set(0.1 * jax.random.normal(k4, (B, N_STONES)))
+    stones = stones.at[:, :, 5].set(0.1 * jax.random.normal(k4, (B, N_STONES)))
+    sr = jnp.full((B,), 0.25)
+    ug = jnp.ones((B,), bool)
+    return q, qd, tau, stones, sr, ug
+
+
+@pytest.mark.parametrize("substeps", [1, 4])
+def test_pallas_matches_scan(substeps):
+    model = walker3d()
+    cparams = ct.ContactParams()
+    q, qd, tau, stones, sr, ug = _random_inputs(jax.random.PRNGKey(0), model)
+
+    ref_step = jax.vmap(
+        lambda q_, qd_, t_, s_, r_, g_: engine._step_scan(
+            model, engine.PhysicsState(q_, qd_), t_, s_, r_, g_, cparams, substeps
+        )
+    )
+    st_ref, info_ref = ref_step(q, qd, tau, stones, sr, ug)
+
+    fn = pallas_step.build_batched_step(
+        model, cparams, substeps, N_STONES,
+        engine.SIM_DT, engine.LIMIT_K, engine.LIMIT_C, engine.MAX_QD, GRAVITY,
+        interpret=True,
+    )
+    qn, qdn, d = fn(q, qd, tau, stones, sr, ug)
+
+    np.testing.assert_allclose(np.asarray(qn), np.asarray(st_ref.q), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qdn), np.asarray(st_ref.qd), rtol=2e-3, atol=2e-2)
+    # diagnostics: allow disagreement on a tiny fraction of marginal contacts
+    fc_match = np.mean(np.asarray(d["foot_contact"]) == np.asarray(info_ref.foot_contact))
+    assert fc_match > 0.999, fc_match
+    fs_match = np.mean(np.asarray(d["foot_stone"]) == np.asarray(info_ref.foot_stone))
+    assert fs_match > 0.995, fs_match
+    np.testing.assert_allclose(
+        np.asarray(d["foot_normal_force"]), np.asarray(info_ref.foot_normal_force),
+        rtol=1e-2, atol=1.0,
+    )
+    al_match = np.mean(
+        np.asarray(d["joint_at_limit"]) == np.asarray(info_ref.joint_at_limit)
+    )
+    assert al_match > 0.999, al_match
