@@ -5,6 +5,15 @@ to the call-site contract of SURVEY.md §2.9:
 
 - obs/action dims pinned by the reference checkpoints (§2.8):
   Walker3D/Mike 60/21, Cassie 51/10
+- Walker-family observation layout follows the upstream mocca_envs
+  convention the checkpoints were trained on:
+  [height-above-lowest-foot, vx, vy, vz (heading frame), roll, pitch]
+  + 21 limit-normalized joint angles + 21 joint speeds * 0.1
+  + 2 foot contacts + 2 lookahead targets x (sin(a)*d, cos(a)*d, dz,
+  x_tilt, y_tilt) = 6 + 42 + 2 + 10 = 60
+- reward = progress-potential + step bonus 50*exp(-d/0.25) + target bonus
+  + tall bonus (+2/-1) - electricity/stall-torque/joint-limit/posture
+  penalties; episode ends on fall (height < termination) or timeout only
 - `update_terrain` event semantics: True on the control step where the
   character hits the target stone and the next-next stone is (re)sampled
 - `create_temp_states`: hypothetical observations for all 11x11 candidate
@@ -32,6 +41,7 @@ import numpy as np
 from steppingstone_tpu.core import quaternion as qt
 from steppingstone_tpu.envs import terrain as terr
 from steppingstone_tpu.physics import engine
+from steppingstone_tpu.physics import kinematics as km
 from steppingstone_tpu.physics.contact import ContactParams
 from steppingstone_tpu.physics.engine import PhysicsState
 from steppingstone_tpu.physics.model import RobotModel
@@ -46,12 +56,13 @@ class EnvState(NamedTuple):
     terrain: jnp.ndarray          # (NS, 6)
     next_step_index: jnp.ndarray  # () int32
     elapsed: jnp.ndarray          # () int32
-    prev_dist: jnp.ndarray        # () f32 distance to current target
+    prev_dist: jnp.ndarray        # () f32 horiz distance to the walk target
     cur: terr.CurriculumState
     key: jax.Array
     ep_return: jnp.ndarray        # () f32 running episode return
     update_terrain: jnp.ndarray   # () bool
     foot_contact: jnp.ndarray     # (2,) bool from the last control step
+    foot_xyz: jnp.ndarray         # (2, 3) foot link origins (world)
     phase: jnp.ndarray            # () f32 gait clock in [0, 1) (Cassie obs)
     mirror_enabled: jnp.ndarray   # () bool — reference `set_mirror` flag
     mirror_episode: jnp.ndarray   # () bool — this episode runs mirrored
@@ -62,7 +73,7 @@ class EnvState(NamedTuple):
 class StepOut(NamedTuple):
     obs: jnp.ndarray
     reward: jnp.ndarray
-    done: jnp.ndarray        # episode ended this step (fall/timeout/success)
+    done: jnp.ndarray        # episode ended this step (fall/timeout)
     timeout: jnp.ndarray     # ended *only* because of the time limit
     ep_return: jnp.ndarray   # final return of the episode that just ended (else 0)
     ep_len: jnp.ndarray      # final length of the episode that just ended (else 0)
@@ -77,20 +88,22 @@ class StepperConfig:
     model: RobotModel
     actuation: str              # "torque" | "pd"
     obs_dim: int
-    n_stones: int = 24
+    n_stones: int = 20
     stone_radius: float = 0.25
     max_episode_steps: int = 1000
     lookahead: int = 2
-    tall_threshold: float = 0.6   # min root height above support stone
+    # reward constants (upstream mocca_envs conventions)
+    termination_height: float = 0.7   # fall when root-above-feet drops below
     step_bonus: float = 50.0
-    final_bonus: float = 100.0
+    step_bonus_scale: float = 0.25    # 50 * exp(-dist / 0.25)
+    target_bonus: float = 2.0         # per step standing at the final stone
     tall_bonus: float = 2.0
-    progress_weight: float = 1.0
-    energy_cost: float = 0.12
-    limit_cost: float = 0.3
+    electricity_cost: float = 4.5     # * mean(|a| * |0.1 qd|)
+    stall_torque_cost: float = 0.225  # * mean(a^2)
+    joints_at_limit_cost: float = 0.1  # * count(|norm angle| > 0.99)
     clock_period: int = 0       # control steps per gait cycle (0 = no clock obs)
     contact: ContactParams = ContactParams()
-    reset_noise: float = 0.03
+    reset_noise: float = 0.05
 
     @property
     def action_dim(self) -> int:
@@ -106,20 +119,32 @@ class StepperConfig:
 # observation
 # ----------------------------------------------------------------------
 
-def _heading_frame(quat):
-    """Heading angle and the 2D rotation into the heading frame."""
-    psi = qt.heading(quat)
-    c, s = jnp.cos(psi), jnp.sin(psi)
-    return psi, c, s
+def _norm_angles(model: RobotModel, qj: jnp.ndarray) -> jnp.ndarray:
+    """Joint angles normalized to [-1, 1] by the position limits (the
+    pybullet `current_relative_position` convention mocca_envs observes)."""
+    lo = jnp.asarray(model.joint_lower, dtype=qj.dtype)
+    hi = jnp.asarray(model.joint_upper, dtype=qj.dtype)
+    mid, half = 0.5 * (lo + hi), 0.5 * (hi - lo)
+    return (qj - mid) / half
 
 
-def _target_features(cfg, root_pos, psi, c, s, stone):
-    """(4,) egocentric features of one target stone: sin/cos of the bearing
-    error, horizontal distance, height difference."""
-    d = stone[:3] - root_pos
-    bearing = jnp.arctan2(d[1], d[0]) - psi
-    r_h = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + 1e-12)
-    return jnp.stack([jnp.sin(bearing), jnp.cos(bearing), r_h, d[2]])
+def _target_rows(cfg: StepperConfig, terrain: jnp.ndarray, ns: jnp.ndarray):
+    """The `lookahead` stones starting at `next_step_index` (clipped so the
+    last stone repeats, like mocca's delta_to_k_targets)."""
+    idx = jnp.clip(ns + jnp.arange(cfg.lookahead), 0, cfg.n_stones - 1)
+    return terrain[idx]  # (k, 6)
+
+
+def _target_features(rows: jnp.ndarray, root_pos: jnp.ndarray, yaw):
+    """(k, 5) egocentric stone features: (sin(a)*d, cos(a)*d, dz, x_tilt,
+    y_tilt) — mocca delta_to_k_targets."""
+    deltas = rows[:, 0:3] - root_pos
+    a = jnp.arctan2(deltas[:, 1], deltas[:, 0]) - yaw
+    d = jnp.sqrt(deltas[:, 0] ** 2 + deltas[:, 1] ** 2 + 1e-12)
+    return jnp.stack(
+        [jnp.sin(a) * d, jnp.cos(a) * d, deltas[:, 2], rows[:, 4], rows[:, 5]],
+        axis=1,
+    )
 
 
 def observe(cfg: StepperConfig, state: EnvState) -> jnp.ndarray:
@@ -143,40 +168,48 @@ def observe_with_terrain(
     model = cfg.model
     q, qd = state.phys.q, state.phys.qd
     root_pos, quat, qj = q[0:3], q[3:7], q[7:]
-    omega, vel = qd[0:3], qd[3:6]
-    psi, ch, sh = _heading_frame(quat)
+    vel = qd[3:6]
+    yaw, pitch, roll = qt.to_euler_zyx(quat)
+    ch, sh = jnp.cos(yaw), jnp.sin(yaw)
 
-    ns = state.next_step_index
-    support = terrain[jnp.maximum(ns - 1, 0)]
-    height = root_pos[2] - support[2]
-
-    target = terrain[jnp.clip(ns, 0, cfg.n_stones - 1)]
-    d = target[:3] - root_pos
-    bearing = jnp.arctan2(d[1], d[0]) - psi
-
+    height = root_pos[2] - jnp.min(state.foot_xyz[:, 2])
     v_head = jnp.stack(
         [ch * vel[0] + sh * vel[1], -sh * vel[0] + ch * vel[1], vel[2]]
     )
-    yaw, pitch, roll = qt.to_euler_zyx(quat)
+    ns = state.next_step_index
+    tgt_rows = _target_rows(cfg, terrain, ns)
+    tgt = _target_features(tgt_rows, root_pos, yaw)
 
-    parts = [
-        jnp.stack([height, jnp.sin(bearing), jnp.cos(bearing)]),
-        v_head,
-        jnp.stack([roll, pitch]),
-    ]
     if cfg.clock_period:
-        # body-frame angular velocity + gait clock (Cassie layout)
+        # Cassie layout (51-dim): bearing header + body rates + gait clock
+        target0 = tgt_rows[0]
+        d = target0[:3] - root_pos
+        bearing = jnp.arctan2(d[1], d[0]) - yaw
+        omega = qd[0:3]
         w_body = qt.rotate_inv(quat, omega)
-        parts.append(w_body)
-    parts.append(qj)
-    parts.append(qd[6:] * 0.1)
-    parts.append(state.foot_contact.astype(q.dtype))
-    if cfg.clock_period:
         ang = 2 * jnp.pi * state.phase
-        parts.append(jnp.stack([jnp.sin(ang), jnp.cos(ang)]))
-    for k in range(cfg.lookahead):
-        stone = terrain[jnp.clip(ns + k, 0, cfg.n_stones - 1)]
-        parts.append(_target_features(cfg, root_pos, psi, ch, sh, stone))
+        r_h = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + 1e-12)
+        parts = [
+            jnp.stack([height, jnp.sin(bearing), jnp.cos(bearing)]),
+            v_head,
+            jnp.stack([roll, pitch]),
+            w_body,
+            qj,
+            qd[6:] * 0.1,
+            state.foot_contact.astype(q.dtype),
+            jnp.stack([jnp.sin(ang), jnp.cos(ang)]),
+            tgt[:, :4].reshape(-1),  # (sin*d, cos*d, dz, x_tilt) x k
+        ]
+    else:
+        # Walker3D/Mike layout (60-dim), mocca_envs WalkerBase.calc_state +
+        # delta_to_k_targets
+        parts = [
+            jnp.stack([height, v_head[0], v_head[1], v_head[2], roll, pitch]),
+            _norm_angles(model, qj),
+            qd[6:] * 0.1,
+            state.foot_contact.astype(q.dtype),
+            tgt.reshape(-1),
+        ]
     obs = jnp.concatenate(parts)
     assert obs.shape == (cfg.obs_dim,), (obs.shape, cfg.obs_dim)
     return obs
@@ -209,14 +242,25 @@ def get_temp_state(cfg: StepperConfig, state: EnvState) -> jnp.ndarray:
 def _standing_height(cfg: StepperConfig) -> float:
     """Root height such that the lowest contact sphere touches z=0 in the
     init pose (computed once at env-build time, outside jit)."""
-    from steppingstone_tpu.physics import kinematics as km
-
     model = cfg.model
     st = engine.default_state(model)
     kin = km.forward_kinematics(model, st.q)
     pts = km.contact_points(model, kin)
     low = jnp.min(pts[:, 2] - jnp.asarray(model.contact_radius))
     return float(st.q[2] - low)
+
+
+def _foot_xyz(model: RobotModel, q: jnp.ndarray) -> jnp.ndarray:
+    """(2, 3) world foot link origins (mocca feet_xyz: f.pose().xyz())."""
+    kin = km.forward_kinematics(model, q)
+    fb = _foot_bodies(model)
+    return kin.pos[jnp.asarray(fb)]
+
+
+def _foot_bodies(model: RobotModel) -> tuple:
+    right = int(model.contact_body[np.argmax(model.foot_of_contact == 0)])
+    left = int(model.contact_body[np.argmax(model.foot_of_contact == 1)])
+    return right, left
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -280,9 +324,19 @@ class StepperEnv:
 
         base = engine.default_state(model)
         nj = model.njoints
+        q0j = base.q[7:]
+        if cfg.actuation == "torque":
+            # mocca "running_start" pose offsets
+            off = np.zeros(nj, dtype=np.float32)
+            for jn, v in walker_mod.RUNNING_START.items():
+                off[list(model.joint_names).index(jn)] = v
+            q0j = q0j + jnp.asarray(off)
         noise = cfg.reset_noise * jax.random.normal(k_noise, (2 * nj + 3,))
-        q = base.q.at[7:].add(noise[:nj])
-        q = q.at[0:2].set(jnp.array([0.22, 0.0]))
+        lo = jnp.asarray(model.joint_lower)
+        hi = jnp.asarray(model.joint_upper)
+        qj = jnp.clip(q0j + noise[:nj], lo + 0.01, hi - 0.01)
+        q = base.q.at[7:].set(qj)
+        q = q.at[0:2].set(jnp.array([0.3, 0.0]))
         q = q.at[2].set(self.standing_height + 0.015)
         qd = base.qd.at[6:].set(0.1 * noise[nj:2 * nj])
         qd = qd.at[3:5].add(0.1 * noise[2 * nj:2 * nj + 2])
@@ -299,6 +353,7 @@ class StepperEnv:
             ep_return=jnp.asarray(0.0, jnp.float32),
             update_terrain=jnp.asarray(False),
             foot_contact=jnp.zeros(2, dtype=bool),
+            foot_xyz=_foot_xyz(model, q),
             phase=jnp.asarray(0.0, jnp.float32),
             mirror_enabled=jnp.asarray(mirror_enabled),
             mirror_episode=jax.random.bernoulli(k_mir),
@@ -310,14 +365,22 @@ class StepperEnv:
         obs = jnp.where(_mirror_active(cfg, state), self._mirror_obs(obs), obs)
         return state, obs
 
-    def _target_dist(self, state: EnvState) -> jnp.ndarray:
+    def _walk_target(self, terrain, ns):
+        """The potential target: LAST of the k lookahead stones (mocca
+        walk_target_index = -1), i.e. the stone after the immediate one."""
         cfg = self.cfg
-        tgt = state.terrain[jnp.clip(state.next_step_index, 0, cfg.n_stones - 1)]
-        return jnp.linalg.norm(tgt[:3] - state.phys.q[0:3])
+        idx = jnp.clip(ns + cfg.lookahead - 1, 0, cfg.n_stones - 1)
+        return terrain[idx]
+
+    def _target_dist(self, state: EnvState) -> jnp.ndarray:
+        tgt = self._walk_target(state.terrain, state.next_step_index)
+        d = tgt[:2] - state.phys.q[0:2]
+        return jnp.sqrt(d[0] ** 2 + d[1] ** 2 + 1e-12)
 
     def step(self, state: EnvState, action: jnp.ndarray):
         cfg = self.cfg
         model = cfg.model
+        last = cfg.n_stones - 1
         # phase-mirror: the policy acts in mirrored coordinates; un-mirror
         # its action before it touches the dynamics (reference `set_mirror`)
         action = jnp.where(
@@ -334,13 +397,19 @@ class StepperEnv:
             model, state.phys, tau, state.terrain, state.stone_radius,
             jnp.asarray(False), cfg.contact,
         )
+        foot_xyz = _foot_xyz(model, phys.q)
 
         # ---- step-hit detection & terrain resampling -----------------
+        # (mocca calc_feet_state: contact with the target stone advances
+        # next_step_index; at the final stone the index stays put)
         ns = state.next_step_index
         hit = jnp.any((info.foot_stone == ns) & info.foot_contact)
-        last = cfg.n_stones - 1
-        reached_final = hit & (ns >= last)
         ns_new = jnp.where(hit, jnp.minimum(ns + 1, last), ns)
+        # horizontal distance of the closest foot to the target stone
+        # center, for the step bonus (mocca foot_dist_to_target)
+        fd = foot_xyz[:, :2] - state.terrain[jnp.minimum(ns, last), :2]
+        foot_dist = jnp.min(jnp.sqrt(jnp.sum(fd * fd, axis=1) + 1e-12))
+
         k_resample, k_next = jax.random.split(state.key)
         terrain = jax.lax.cond(
             hit,
@@ -355,6 +424,7 @@ class StepperEnv:
             next_step_index=ns_new,
             key=k_next,
             foot_contact=info.foot_contact,
+            foot_xyz=foot_xyz,
             phase=jnp.where(
                 cfg.clock_period > 0,
                 (state.phase + 1.0 / max(cfg.clock_period, 1)) % 1.0,
@@ -362,37 +432,64 @@ class StepperEnv:
             ),
         )
 
-        # ---- reward ---------------------------------------------------
+        # ---- reward (mocca calc_base_reward + calc_step_reward) -------
+        # progress vs the OLD walk target, then re-anchor the potential to
+        # the new one (mocca: calc_potential() re-runs on index advance)
+        old_tgt = self._walk_target(state.terrain, ns)
+        d_old = old_tgt[:2] - phys.q[0:2]
+        dist_old = jnp.sqrt(d_old[0] ** 2 + d_old[1] ** 2 + 1e-12)
+        progress = (state.prev_dist - dist_old) / CONTROL_DT
         new_dist = self._target_dist(mid)
-        # on a hit the target switched: don't score the target jump
-        progress = jnp.where(
-            hit, 0.0, (state.prev_dist - new_dist) / CONTROL_DT
-        ) * cfg.progress_weight
 
-        support = terrain[jnp.maximum(ns_new - 1, 0)]
-        height = phys.q[2] - support[2]
-        tall = height > cfg.tall_threshold * (self.standing_height / 0.95)
+        height = phys.q[2] - jnp.min(foot_xyz[:, 2])
+        tall = height > cfg.termination_height
+        tall_bonus = jnp.where(tall, cfg.tall_bonus, -1.0)
 
-        act_idx = model.actuated_idx
-        energy = cfg.energy_cost * jnp.mean(
-            jnp.abs(jnp.clip(action, -1, 1)) * jnp.abs(qdj[act_idx]) * 0.1
+        yaw, pitch, roll = qt.to_euler_zyx(phys.q[3:7])
+        posture = (
+            jnp.where((pitch < -0.2) | (pitch > 0.4), jnp.abs(pitch), 0.0)
+            + jnp.where((roll < -0.4) | (roll > 0.4), jnp.abs(roll), 0.0)
         )
-        limit_pen = cfg.limit_cost * jnp.mean(info.joint_at_limit.astype(jnp.float32))
+
+        a = jnp.clip(action, -1.0, 1.0)
+        speeds = 0.1 * phys.qd[6:]
+        electricity = cfg.electricity_cost * jnp.mean(jnp.abs(a * speeds[model.actuated_idx]))
+        stall = cfg.stall_torque_cost * jnp.mean(a * a)
+        at_limit = jnp.abs(_norm_angles(model, phys.q[7:])) > 0.99
+        joints_pen = cfg.joints_at_limit_cost * jnp.sum(at_limit.astype(jnp.float32))
+
+        # step bonus on the first contact frame, excluded once the NEW
+        # index is the final stone (mocca calc_step_reward)
+        step_bonus = jnp.where(
+            hit & (ns_new != last),
+            cfg.step_bonus * jnp.exp(-foot_dist / cfg.step_bonus_scale),
+            0.0,
+        )
+        # standing at the final stone: +2 per control step within 0.15 m
+        target_bonus = jnp.where(
+            (ns_new == last) & (new_dist < 0.15), cfg.target_bonus, 0.0
+        )
 
         reward = (
-            progress
-            + jnp.where(tall, cfg.tall_bonus, -1.0)
-            + jnp.where(hit, cfg.step_bonus, 0.0)
-            + jnp.where(reached_final, cfg.final_bonus, 0.0)
-            - energy
-            - limit_pen
+            progress + step_bonus + target_bonus + tall_bonus
+            - electricity - stall - joints_pen - posture
         )
 
         # ---- termination ---------------------------------------------
+        # per-env NaN firewall (SURVEY §5 failure-detection row; mocca
+        # calc_env_state: non-finite robot state forces done) — the env
+        # resets itself and the poisoned reward is squashed so it cannot
+        # reach GAE/PPO.
+        finite = (
+            jnp.isfinite(phys.q).all()
+            & jnp.isfinite(phys.qd).all()
+            & jnp.isfinite(reward)
+        )
+        reward = jnp.where(finite, reward, 0.0)
         elapsed = state.elapsed + 1
         timeout = elapsed >= cfg.max_episode_steps
-        fall = ~tall
-        done = fall | timeout | reached_final
+        fall = ~tall | ~finite
+        done = fall | timeout
         ep_return = state.ep_return + reward
 
         mid = mid._replace(
@@ -427,10 +524,12 @@ class StepperEnv:
             obs=obs,
             reward=reward,
             done=done,
-            timeout=timeout & ~fall & ~reached_final,
+            timeout=timeout & ~fall,
             ep_return=jnp.where(done, ep_return, 0.0),
             ep_len=jnp.where(done, elapsed, 0).astype(jnp.int32),
-            hit=hit,
+            # "advanced to a new stone" (at the final stone, contact keeps
+            # firing update_terrain like mocca, but doesn't count as a hit)
+            hit=hit & (ns_new != ns),
         )
 
     # ---- curriculum RPC analogs (reference `envs_utils.py:560-590`) ---
@@ -473,6 +572,17 @@ class StepperEnv:
         )
         return state._replace(cur=cur)
 
+    def update_specialist(self, state: EnvState, k) -> EnvState:
+        """Reference env-side `update_specialist(k)` (envs_utils.py:585-587):
+        restrict stone sampling to difficulty band k — an annulus of the
+        (yaw, pitch) grid (ALLSTEPS specialist curriculum)."""
+        prob = terr.specialist_band_prob(k)
+        cur = state.cur._replace(
+            sample_prob=jnp.broadcast_to(prob, state.cur.sample_prob.shape),
+            use_prob=jnp.broadcast_to(jnp.asarray(True), state.cur.use_prob.shape),
+        )
+        return state._replace(cur=cur)
+
     def update_sample_prob(self, state: EnvState, prob: jnp.ndarray) -> EnvState:
         prob = prob / (jnp.sum(prob) + 1e-12)
         cur = state.cur._replace(sample_prob=prob, use_prob=jnp.asarray(True))
@@ -481,38 +591,60 @@ class StepperEnv:
     # ---- mirror metadata (reference `get_mirror_indices`) -------------
     def get_mirror_indices(self):
         """Six index lists: (neg_obs, right_obs, left_obs, neg_act,
-        right_act, left_act) — reference `envs_utils.py:687-694`."""
+        right_act, left_act) — reference `envs_utils.py:687-694`; layouts
+        follow mocca_envs Walker3D.get_mirror_indices."""
         cfg = self.cfg
-        mir = walker_mod.MIRROR if cfg.actuation == "torque" else cassie_mod.MIRROR
         nj = cfg.model.njoints
-        base = 11 if cfg.clock_period else 8  # where joint angles start
-        jpos = lambda j: base + j
-        jvel = lambda j: base + nj + j
-        contact0 = base + 2 * nj
-        neg_obs = [1, 4, 6]
         if cfg.clock_period:
-            neg_obs += [8, 10]  # body angular velocity x, z
-        neg_obs += [jpos(j) for j in mir["neg_joints"]]
-        neg_obs += [jvel(j) for j in mir["neg_joints"]]
-        # target sin(bearing) features
-        tgt0 = contact0 + 2 + (2 if cfg.clock_period else 0)
-        neg_obs += [tgt0 + 4 * k for k in range(cfg.lookahead)]
-        right_obs = (
-            [jpos(j) for j in mir["right_joints"]]
-            + [jvel(j) for j in mir["right_joints"]]
-            + [contact0]
-        )
-        left_obs = (
-            [jpos(j) for j in mir["left_joints"]]
-            + [jvel(j) for j in mir["left_joints"]]
-            + [contact0 + 1]
-        )
-        if cfg.actuation == "pd":
+            # Cassie layout: 3 header + 3 v + 2 rp + 3 w + nj + nj + 2 + 2 clock
+            mir = cassie_mod.MIRROR
+            base = 11
+            jpos = lambda j: base + j
+            jvel = lambda j: base + nj + j
+            contact0 = base + 2 * nj
+            neg_obs = [1, 4, 6, 8, 10]  # sin(bearing), vy, roll, wx, wz
+            neg_obs += [jpos(j) for j in mir["neg_joints"]]
+            neg_obs += [jvel(j) for j in mir["neg_joints"]]
+            tgt0 = contact0 + 2 + 2
+            neg_obs += [tgt0 + 4 * k for k in range(cfg.lookahead)]       # sin*d
+            neg_obs += [tgt0 + 4 * k + 3 for k in range(cfg.lookahead)]   # x_tilt
+            right_obs = (
+                [jpos(j) for j in mir["right_joints"]]
+                + [jvel(j) for j in mir["right_joints"]]
+                + [contact0]
+            )
+            left_obs = (
+                [jpos(j) for j in mir["left_joints"]]
+                + [jvel(j) for j in mir["left_joints"]]
+                + [contact0 + 1]
+            )
             amir = cassie_mod.MIRROR_ACTION
             neg_act = amir["neg_actions"]
             right_act = amir["right_actions"]
             left_act = amir["left_actions"]
         else:
+            # Walker3D layout: [height, vx, vy, vz, roll, pitch] + angles
+            # + speeds + contacts + (sin*d, cos*d, dz, x_tilt, y_tilt) x 2
+            mir = walker_mod.MIRROR
+            jpos = lambda j: 6 + j
+            jvel = lambda j: 6 + nj + j
+            contact0 = 6 + 2 * nj
+            tgt0 = contact0 + 2
+            neg_obs = [2, 4]  # vy, roll
+            neg_obs += [jpos(j) for j in mir["neg_joints"]]
+            neg_obs += [jvel(j) for j in mir["neg_joints"]]
+            neg_obs += [tgt0 + 5 * k for k in range(cfg.lookahead)]       # sin*d
+            neg_obs += [tgt0 + 5 * k + 3 for k in range(cfg.lookahead)]   # x_tilt
+            right_obs = (
+                [jpos(j) for j in mir["right_joints"]]
+                + [jvel(j) for j in mir["right_joints"]]
+                + [contact0]
+            )
+            left_obs = (
+                [jpos(j) for j in mir["left_joints"]]
+                + [jvel(j) for j in mir["left_joints"]]
+                + [contact0 + 1]
+            )
             neg_act = mir["neg_joints"]
             right_act = mir["right_joints"]
             left_act = mir["left_joints"]
@@ -569,6 +701,6 @@ def cassie_stepper() -> StepperEnv:
         model=cassie_mod.cassie(),
         actuation="pd",
         obs_dim=51,
-        tall_threshold=0.55,
+        termination_height=0.5,
         clock_period=30,
     ))

@@ -1,9 +1,12 @@
 """Stepping-stone terrain generation and curriculum-conditioned sampling.
 
 On-device replacement for the terrain logic of the reference's missing
-`mocca_envs` submodule, built to the call-site contract of SURVEY.md §2.9:
-`terrain_info` rows are (x, y, z, phi, x_tilt, y_tilt); an 11x11
-(yaw x pitch) difficulty grid (`yaw_samples`/`pitch_samples`) drives
+`mocca_envs` submodule, built to the call-site contract of SURVEY.md §2.9
+and the upstream mocca_envs `generate_step_placements` conventions:
+`terrain_info` rows are (x, y, z, phi, x_tilt, y_tilt); stones are placed
+in spherical steps (r, yaw, pitch) cumulative in heading, with pitch
+measured as theta = pi/2 + pitch (positive pitch sample = downhill); an
+11x11 (yaw x pitch) difficulty grid (`yaw_samples`/`pitch_samples`) drives
 curriculum sampling; `update_sample_prob` installs a categorical
 distribution over that grid; discrete difficulty levels 0..5 widen the
 uniform ranges (level 5 = full range, reference `train.py:118,503-506`).
@@ -20,13 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 
 # ---- the difficulty grid (reference contract: 11 yaw x 11 pitch) --------
+# ranges follow mocca_envs Walker3DStepperEnv: yaw +-20 deg, pitch +-50 deg,
+# tilt +-15 deg, step distance 0.65..1.25 m
 N_LEVELS = 6
 GRID = 11
-YAW_MAX = np.deg2rad(70.0)
+YAW_MAX = np.deg2rad(20.0)
 PITCH_MAX = np.deg2rad(50.0)
-TILT_MAX = np.deg2rad(20.0)
-R_MIN, R_MAX = 0.65, 1.5
-R_EASY = (0.72, 0.88)          # level-0 spacing band
+TILT_MAX = np.deg2rad(15.0)
+R_MIN, R_MAX = 0.65, 1.25
+INIT_STEP_SEPARATION = 0.75
 
 YAW_SAMPLES = np.linspace(-YAW_MAX, YAW_MAX, GRID).astype(np.float32)
 PITCH_SAMPLES = np.linspace(-PITCH_MAX, PITCH_MAX, GRID).astype(np.float32)
@@ -55,13 +60,27 @@ def level_scale(level: jnp.ndarray) -> jnp.ndarray:
     return level.astype(jnp.float32) / (N_LEVELS - 1)
 
 
+def specialist_band_prob(k) -> jnp.ndarray:
+    """Uniform distribution over the difficulty band (annulus) k of the
+    grid: cells whose Chebyshev ring index max(|yi-5|, |pi-5|) == k.
+    Env-side `update_specialist(k)` semantics (reference `train.py:226,
+    542-549`, `envs_utils.py:585-587`)."""
+    c = (GRID - 1) // 2
+    yi, pi = np.meshgrid(np.arange(GRID), np.arange(GRID), indexing="ij")
+    ring = np.maximum(np.abs(yi - c), np.abs(pi - c))
+    k = jnp.asarray(k, jnp.int32)
+    mask = jnp.asarray(ring)[None] == jnp.arange(N_LEVELS)[:, None, None]
+    sel = mask[jnp.clip(k, 0, N_LEVELS - 1)].astype(jnp.float32)
+    return sel / jnp.sum(sel)
+
+
 def sample_step_params(key: jax.Array, cur: CurriculumState):
     """Draw one (r, yaw, pitch, x_tilt, y_tilt) stone-placement parameter set.
 
-    Uniform mode scales the ranges by level/5; grid mode draws (yaw, pitch)
-    from the installed 11x11 categorical (reference `update_sample_prob`
-    fan-out, `envs_utils.py:568-571`) at full range.
-    """
+    Uniform mode scales the ranges by level/5 (mocca generate_step_placements:
+    the r upper bound widens from R_MIN toward R_MAX, angles scale by ratio);
+    grid mode draws (yaw, pitch) from the installed 11x11 categorical
+    (reference `update_sample_prob` fan-out, `envs_utils.py:568-571`)."""
     ku, kg, kr, kt = jax.random.split(key, 4)
     s = level_scale(cur.level)
 
@@ -71,9 +90,9 @@ def sample_step_params(key: jax.Array, cur: CurriculumState):
     pitch_u = u[1] * PITCH_MAX * s
     xt_u = u[2] * TILT_MAX * s
     yt_u = u[3] * TILT_MAX * s
-    r_lo = R_EASY[0] + (R_MIN - R_EASY[0]) * s
-    r_hi = R_EASY[1] + (R_MAX - R_EASY[1]) * s
-    r_u = jax.random.uniform(kr, (), minval=r_lo, maxval=r_hi)
+    r_u = jax.random.uniform(
+        kr, (), minval=R_MIN, maxval=R_MIN + (R_MAX - R_MIN) * s
+    )
 
     # --- categorical draw from the difficulty grid -------------------
     flat = cur.sample_prob.reshape(-1)
@@ -92,10 +111,14 @@ def sample_step_params(key: jax.Array, cur: CurriculumState):
 
 
 def next_stone(prev: jnp.ndarray, r, yaw, pitch, x_tilt, y_tilt) -> jnp.ndarray:
-    """Place a stone relative to `prev` = (x, y, z, phi, xt, yt)."""
+    """Place a stone relative to `prev` = (x, y, z, phi, xt, yt).
+
+    mocca spherical convention: theta = pi/2 + pitch, so horizontal reach
+    is r*cos(pitch) and dz = r*cos(theta) = -r*sin(pitch) (positive pitch
+    sample = stone placed lower)."""
     heading = prev[3] + yaw
     dist_h = r * jnp.cos(pitch)
-    dz = r * jnp.sin(pitch)
+    dz = -r * jnp.sin(pitch)
     x = prev[0] + dist_h * jnp.cos(heading)
     y = prev[1] + dist_h * jnp.sin(heading)
     z = prev[2] + dz
@@ -105,10 +128,13 @@ def next_stone(prev: jnp.ndarray, r, yaw, pitch, x_tilt, y_tilt) -> jnp.ndarray:
 def generate_terrain(
     key: jax.Array, cur: CurriculumState, n_stones: int
 ) -> jnp.ndarray:
-    """Full terrain at reset: (n_stones, 6). Stones 0 and 1 are the flat
-    starting pads under the character's feet."""
+    """Full terrain at reset: (n_stones, 6). Stone 0 sits under the
+    character; stone 1 is flat at INIT_STEP_SEPARATION ahead (mocca
+    generate_step_placements: dr[0]=0, dr[1]=init_step_separation)."""
     start0 = jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0], dtype=jnp.float32)
-    start1 = jnp.array([0.45, 0.0, 0.0, 0.0, 0.0, 0.0], dtype=jnp.float32)
+    start1 = jnp.array(
+        [INIT_STEP_SEPARATION, 0.0, 0.0, 0.0, 0.0, 0.0], dtype=jnp.float32
+    )
 
     def gen(prev, k):
         r, yaw, pitch, xt, yt = sample_step_params(k, cur)

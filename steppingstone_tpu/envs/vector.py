@@ -23,10 +23,13 @@ class VecEnv:
     def __init__(self, env: StepperEnv, num_envs: int):
         self.env = env
         self.num_envs = num_envs
-        self._reset = jax.vmap(env.reset, in_axes=(0, None))
-        self._reset_cur = jax.vmap(env.reset, in_axes=(0, 0))
-        self._step = jax.vmap(env.step)
-        self._temp_states = jax.vmap(lambda s: create_temp_states(env.cfg, s))
+        # jit-wrapped: these are also called OUTSIDE the trainer's compiled
+        # update (reset at startup, enjoy/eval loops); eager vmapped physics
+        # would dispatch thousands of tiny ops to the device
+        self._reset = jax.jit(jax.vmap(env.reset, in_axes=(0, None)))
+        self._reset_cur = jax.jit(jax.vmap(env.reset, in_axes=(0, 0)))
+        self._step = jax.jit(jax.vmap(env.step))
+        self._temp_states = jax.jit(jax.vmap(lambda s: create_temp_states(env.cfg, s)))
 
     # -- gym-ish metadata ------------------------------------------------
     @property

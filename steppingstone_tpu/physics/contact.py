@@ -19,15 +19,17 @@ from steppingstone_tpu.core import spatial as sp
 
 
 class ContactParams(NamedTuple):
-    """Penalty gains, sized for explicit 240 Hz substeps: with a ~1 kg foot
-    effective mass, stability needs c < 2 m / dt ≈ 480 N s/m and
-    sqrt(k/m) * dt < ~0.8 -> k < ~36000 N/m. Friction is additionally
-    Coulomb-capped, which bounds any residual chatter."""
+    """Penalty gains, sized for explicit 240 Hz substeps. The binding
+    constraint is the ANKLE-rotation effective mass at the toe lever
+    (m_eff = I_foot / r^2 ~ 0.6 kg): explicit dampers need
+    c < 2 m_eff / dt ~ 290 N s/m *summed over the foot's contacts*, and
+    springs need sqrt(k/m_eff) dt < ~1 per contact. Friction is
+    additionally Coulomb-capped, which bounds any residual chatter."""
 
-    kn: float = 30000.0      # normal spring stiffness (N/m) per contact
-    cn: float = 250.0        # normal damping (N s/m)
+    kn: float = 15000.0      # normal spring stiffness (N/m) per contact
+    cn: float = 60.0         # normal damping (N s/m)
     mu: float = 1.0          # Coulomb friction coefficient
-    kt: float = 400.0        # tangential viscous gain (N s/m)
+    kt: float = 150.0        # tangential viscous gain (N s/m)
     margin: float = 0.02     # lateral overhang allowed beyond stone rim (m)
 
 

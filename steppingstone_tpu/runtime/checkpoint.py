@@ -15,6 +15,7 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -47,5 +48,44 @@ class CheckpointManager:
 
 
 def host_pytree(tree):
-    """Device -> host numpy copy of a pytree (for saving)."""
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Device -> host numpy copy of a pytree (for saving).
+
+    Per-leaf transfers pay one host<->device round trip each — over a
+    tunneled TPU that is ~25 ms * n_leaves. Instead, concatenate all leaves
+    of a common dtype on device (one fused XLA program) and move ONE buffer
+    per dtype, then split on host.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    # leaves may live on device or already be numpy; only batch jax arrays
+    out = [None] * len(leaves)
+    by_dtype: dict = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array) and leaf.size > 0:
+            by_dtype.setdefault(jnp.dtype(leaf.dtype).name, []).append(i)
+        else:
+            out[i] = np.asarray(leaf)
+    if by_dtype:
+        groups = [[leaves[i] for i in idxs] for idxs in by_dtype.values()]
+        flats = _flatten_groups(groups)
+        for idxs, flat in zip(by_dtype.values(), flats):
+            host = np.asarray(flat)  # one D2H transfer per dtype
+            off = 0
+            for i in idxs:
+                n = int(np.prod(leaves[i].shape, dtype=np.int64))
+                out[i] = host[off:off + n].reshape(leaves[i].shape)
+                off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+# One jitted program that ravels+concatenates every leaf group — a single
+# device program and one output buffer per dtype, instead of per-leaf eager
+# ops (each of which costs a host round trip). jit caches per structure.
+_flatten_groups = jax.jit(
+    lambda groups: [
+        jnp.concatenate([l.reshape(-1) for l in g]) if len(g) > 1
+        else g[0].reshape(-1)
+        for g in groups
+    ]
+)

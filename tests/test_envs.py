@@ -63,7 +63,7 @@ def test_terrain_level5_spans_range():
     cur = terr.default_curriculum(5)
     t = terr.generate_terrain(jax.random.PRNGKey(0), cur, 200)
     yaw_deltas = np.diff(np.asarray(t[1:, 3]))
-    assert np.abs(yaw_deltas).max() > 0.5  # wide turns appear
+    assert np.abs(yaw_deltas).max() > 0.3  # wide turns appear (yaw max 20 deg)
     assert np.abs(np.asarray(t[:, 2])).max() > 0.3  # vertical variation
 
 
