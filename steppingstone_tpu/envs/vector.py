@@ -18,17 +18,40 @@ from steppingstone_tpu.envs.stepper import EnvState, StepperEnv, create_temp_sta
 
 
 class VecEnv:
-    """Thin, stateless-functional vector wrapper: methods return new states."""
+    """Thin, stateless-functional vector wrapper: methods return new states.
 
-    def __init__(self, env: StepperEnv, num_envs: int):
+    With `mesh` set, `step` runs under `jax.shard_map` over the mesh's env
+    axis: each device steps only its local shard, so the fused Pallas
+    control-step kernel (physics/pallas_step.py) sees the *per-shard* batch
+    size and stays active under multi-chip pjit (pallas_call does not GSPMD
+    partition on its own; shard_map is how it rides the mesh)."""
+
+    def __init__(self, env: StepperEnv, num_envs: int, mesh=None):
         self.env = env
         self.num_envs = num_envs
+        self.mesh = mesh
+        step_batch = jax.vmap(env.step)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            assert num_envs % mesh.devices.size == 0, (
+                f"num_envs={num_envs} must divide over {mesh.devices.size} "
+                "devices"
+            )
+            step_batch = jax.shard_map(
+                step_batch,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=(P(axis), P(axis)),
+                check_vma=False,
+            )
         # jit-wrapped: these are also called OUTSIDE the trainer's compiled
         # update (reset at startup, enjoy/eval loops); eager vmapped physics
         # would dispatch thousands of tiny ops to the device
         self._reset = jax.jit(jax.vmap(env.reset, in_axes=(0, None)))
         self._reset_cur = jax.jit(jax.vmap(env.reset, in_axes=(0, 0)))
-        self._step = jax.jit(jax.vmap(env.step))
+        self._step = jax.jit(step_batch)
         self._temp_states = jax.jit(jax.vmap(lambda s: create_temp_states(env.cfg, s)))
 
     # -- gym-ish metadata ------------------------------------------------
@@ -66,6 +89,19 @@ class VecEnv:
         cur = state.cur._replace(
             level=jnp.full((self.num_envs,), level, jnp.int32),
             use_prob=jnp.zeros((self.num_envs,), bool),
+        )
+        return state._replace(cur=cur)
+
+    def update_specialist(self, state: EnvState, k) -> EnvState:
+        """Reference `envs.update_specialist(k)` fan-out
+        (`envs_utils.py:585-587`): restrict every env's stone sampling to
+        difficulty band k."""
+        prob = terr.specialist_band_prob(k)
+        cur = state.cur._replace(
+            sample_prob=jnp.broadcast_to(
+                prob, (self.num_envs,) + prob.shape
+            ),
+            use_prob=jnp.ones((self.num_envs,), bool),
         )
         return state._replace(cur=cur)
 

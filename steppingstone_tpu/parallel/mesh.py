@@ -38,21 +38,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _global_put(x, sharding: NamedSharding):
+    """device_put that also works when the mesh spans multiple host
+    processes: every process holds the full host value (same seed on every
+    host) and contributes its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def shard_env_tree(mesh: Mesh, tree):
     """Place a stacked env-state pytree with its leading axis sharded."""
-    return jax.device_put(tree, env_sharding(mesh))
+    s = env_sharding(mesh)
+    return jax.tree.map(lambda x: _global_put(x, s), tree)
 
 
 def replicate_tree(mesh: Mesh, tree):
-    return jax.device_put(tree, replicated(mesh))
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: _global_put(x, s), tree)
 
 
 def maybe_initialize_distributed():
     """Multi-host bring-up (JAX distributed runtime over DCN). No-op when
-    the coordinator env vars are absent — single-host runs unchanged."""
+    the coordinator env vars are absent — single-host runs unchanged.
+
+    Env contract (set by scripts/pod_run_train.sh or the cluster launcher):
+      JAX_COORDINATOR_ADDRESS  host:port of process 0
+      JAX_NUM_PROCESSES        total host processes (optional on TPU pods)
+      JAX_PROCESS_ID           this process's rank   (optional on TPU pods)
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
-        return True
-    return False
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    return True

@@ -192,8 +192,12 @@ def _step_scan(
 # and the fused Pallas control-step kernel (TPU, batch % 1024 == 0)
 # ---------------------------------------------------------------------------
 
-PALLAS_ENABLED = True  # Trainer disables this under a multi-device mesh
-                       # (pallas_call does not GSPMD-partition under pjit)
+PALLAS_ENABLED = True
+# pallas_call does not GSPMD-partition under pjit, so under a multi-device
+# mesh VecEnv runs the batched step inside `jax.shard_map` over the env
+# axis (envs/vector.py): this rule then sees the *per-shard* batch size,
+# and the fused kernel stays active as long as each shard is a TILE
+# multiple. Set PALLAS_ENABLED=False only to force the jnp path (tests).
 
 
 from functools import lru_cache

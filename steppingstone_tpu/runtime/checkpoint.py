@@ -58,6 +58,18 @@ def host_pytree(tree):
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if not leaves:
         return tree
+    # cross-host sharded leaves (multi-host env state): allgather to every
+    # process first — a collective, so host_pytree must be called by all
+    if any(
+        isinstance(l, jax.Array) and not l.is_fully_addressable for l in leaves
+    ):
+        from jax.experimental import multihost_utils
+
+        leaves = [
+            multihost_utils.process_allgather(l, tiled=True)
+            if isinstance(l, jax.Array) and not l.is_fully_addressable else l
+            for l in leaves
+        ]
     # leaves may live on device or already be numpy; only batch jax arrays
     out = [None] * len(leaves)
     by_dtype: dict = {}

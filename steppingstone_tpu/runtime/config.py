@@ -51,6 +51,10 @@ class TrainConfig:
 
     # algorithm (reference train.py:69-87)
     use_gae: bool = True
+    # alternate full PPO / value-only (10x lr) updates — the reference's
+    # `update_values` path (`algorithms/ppo.py:36-38,111`, toggle commented
+    # at `train.py:519`)
+    use_value_update: bool = False
     lr_decay_type: str = "exponential"
     gamma: float = 0.99
     gae_lambda: float = 0.95

@@ -151,12 +151,12 @@ class SpecialistSchedule:
         self.specialist = 0
 
     def install(self, env_state):
-        return self.venv.update_curriculum(env_state, self.specialist)
+        return self.venv.update_specialist(env_state, self.specialist)
 
     def post_update(self, env_state, mean_rew: float, save_fn=None):
         if mean_rew > 1000 and self.specialist <= 4:
             if save_fn is not None:
                 save_fn(self.specialist)
             self.specialist += 1
-            env_state = self.venv.update_curriculum(env_state, self.specialist)
+            env_state = self.venv.update_specialist(env_state, self.specialist)
         return env_state

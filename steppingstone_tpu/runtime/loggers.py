@@ -17,7 +17,12 @@ import numpy as np
 class CSVLogger:
     def __init__(self, log_dir, filename="progress.csv"):
         os.makedirs(log_dir, exist_ok=True)
-        self.csvfile = open(os.path.join(log_dir, filename), "w", newline="")
+        path = os.path.join(log_dir, filename)
+        # append so resumed runs extend the same learning curve; write the
+        # header only for a fresh file
+        had_rows = os.path.exists(path) and os.path.getsize(path) > 0
+        self.csvfile = open(path, "a", newline="")
+        self._header_written = had_rows
         self.writer = None
 
     def _expand_stats(self, data):
@@ -38,7 +43,9 @@ class CSVLogger:
         data = self._expand_stats(dict(data))
         if self.writer is None:
             self.writer = csv.DictWriter(self.csvfile, fieldnames=list(data))
-            self.writer.writeheader()
+            if not self._header_written:
+                self.writer.writeheader()
+                self._header_written = True
         self.writer.writerow(data)
         self.csvfile.flush()
         return data

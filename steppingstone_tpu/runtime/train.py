@@ -26,6 +26,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent XLA compilation cache: the fused train_iteration program takes
+# minutes to compile; cache it across restarts/resumes (off for unit tests
+# via STEPPINGSTONE_NO_COMPILE_CACHE).
+if not os.environ.get("STEPPINGSTONE_NO_COMPILE_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/sstpu_xla_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from steppingstone_tpu.agents import distributions as dist
 from steppingstone_tpu.agents.gae import compute_gae, normalize_advantages
 from steppingstone_tpu.agents.mirror import MirrorSpec
@@ -41,6 +51,16 @@ from steppingstone_tpu.runtime.loggers import ConsoleCSVLogger
 from steppingstone_tpu.runtime.schedules import exponential_decay, linear_decay
 
 
+def _host(x) -> np.ndarray:
+    """Array -> host numpy, allgathering cross-host shards when the mesh
+    spans processes (a collective — call from every process)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 class Trainer:
     """Wires config -> env fleet -> networks -> compiled update."""
 
@@ -48,9 +68,29 @@ class Trainer:
         cfg.validate()
         self.cfg = cfg
         self.env = make_env(cfg.env_name)
-        self.venv = VecEnv(self.env, cfg.num_processes)
+
+        # ---- device mesh (built first: VecEnv shard_maps its step over
+        # it, which keeps the Pallas kernel active per-shard) -----------
+        from steppingstone_tpu.parallel import mesh as pmesh
+
+        n_dev = cfg.mesh_devices or len(jax.devices())
+        if n_dev > 1:
+            assert cfg.num_processes % n_dev == 0, (
+                f"num_processes={cfg.num_processes} must divide over "
+                f"{n_dev} devices"
+            )
+            self.mesh = pmesh.make_mesh(n_dev)
+        else:
+            self.mesh = None
+        test_mesh = (
+            self.mesh
+            if self.mesh is not None and cfg.num_tests % n_dev == 0
+            else None
+        )
+        self.venv = VecEnv(self.env, cfg.num_processes, mesh=self.mesh)
         self.test_venv = (
-            VecEnv(self.env, cfg.num_tests) if cfg.num_tests > 0 else None
+            VecEnv(self.env, cfg.num_tests, mesh=test_mesh)
+            if cfg.num_tests > 0 else None
         )
 
         self.net = ActorCritic(
@@ -70,16 +110,8 @@ class Trainer:
         )
         self.tx = make_optimizer(self.ppo_cfg)
 
-        # ---- device mesh: shard the env batch, replicate the learner ---
-        from steppingstone_tpu.parallel import mesh as pmesh
-
-        n_dev = cfg.mesh_devices or len(jax.devices())
-        if n_dev > 1:
-            assert cfg.num_processes % n_dev == 0, (
-                f"num_processes={cfg.num_processes} must divide over "
-                f"{n_dev} devices"
-            )
-            self.mesh = pmesh.make_mesh(n_dev)
+        # ---- shardings: shard the env batch, replicate the learner -----
+        if self.mesh is not None:
             env_s = pmesh.env_sharding(self.mesh)
             repl = pmesh.replicated(self.mesh)
             self._train_iteration = jax.jit(
@@ -88,7 +120,7 @@ class Trainer:
                 in_shardings=(repl, repl, env_s, env_s, env_s, repl, repl),
                 out_shardings=(repl, repl, env_s, env_s, env_s, repl, repl, repl),
             )
-            test_ok = cfg.num_tests % n_dev == 0
+            test_ok = test_mesh is not None
             self._test_eval = jax.jit(
                 self._test_eval_impl,
                 donate_argnums=(1, 2),
@@ -96,11 +128,14 @@ class Trainer:
                 out_shardings=(env_s, env_s, env_s) if test_ok else None,
             )
         else:
-            self.mesh = None
             self._train_iteration = jax.jit(
                 self._train_iteration_impl, donate_argnums=(0, 1, 2, 3, 4)
             )
             self._test_eval = jax.jit(self._test_eval_impl, donate_argnums=(1, 2))
+        self._train_iteration_values = jax.jit(
+            partial(self._train_iteration_impl, value_only=True),
+            donate_argnums=(0, 1, 2, 3, 4),
+        )
 
     # ------------------------------------------------------------------
     def init_params(self, key):
@@ -126,7 +161,8 @@ class Trainer:
         return self.net.init(key, jnp.zeros((1, obs_dim)))
 
     # ------------------------------------------------------------------
-    def _train_iteration_impl(self, params, opt_state, env_state, obs, stats, key, lr):
+    def _train_iteration_impl(self, params, opt_state, env_state, obs, stats, key, lr,
+                              value_only: bool = False):
         cfg = self.cfg
         key, k_roll, k_upd = jax.random.split(key, 3)
         env_state, obs, stats, traj, aux = collect_rollout(
@@ -156,9 +192,12 @@ class Trainer:
             returns=flat(returns[..., None]),
             adv=flat(adv[..., None]),
         )
+        # value-only updates run at 10x lr (reference's value_optimizer,
+        # `algorithms/ppo.py:36-38`)
         params, opt_state, metrics = ppo_update(
             self.net.apply, self.tx, self.ppo_cfg, params, opt_state,
-            batch, k_upd, lr,
+            batch, k_upd, jnp.where(value_only, 10.0 * lr, lr),
+            value_only=value_only,
         )
         return params, opt_state, env_state, obs, stats, key, metrics, aux
 
@@ -228,26 +267,73 @@ class Trainer:
         test_rets = np.zeros(0)
         start_update = 0
 
-        # ---- resume (full learner state; envs restart fresh) ----------
-        if cfg.resume and ckpt.exists("latest"):
+        # ---- full-resume snapshot (SURVEY §5: params + optimizer +
+        # env/curriculum/PRNG/test-fleet state, so a resumed run continues
+        # the exact trajectory; the reference loses everything but params,
+        # `train.py:523-562`) ------------------------------------------
+        def make_snapshot(update, frames):
+            # fixed-size slot (restore target must be shape-stable)
+            tr = np.full(max(cfg.num_tests, 1), np.nan, np.float32)
+            tr[: len(test_rets)] = np.asarray(test_rets, np.float32)[: len(tr)]
             snap = {
-                "params": host_pytree(params),
-                "opt_state": host_pytree(opt_state),
-                "update": 0, "frames": 0, "max_ep_reward": 0.0,
+                "params": params,
+                "opt_state": opt_state,
+                "env_state": env_state,
+                "obs": obs,
+                "stats": stats,
+                "key": key,
+                "update": update,
+                "frames": frames,
+                "max_ep_reward": max(max_ep_reward, -1e30),
+                "test_rets": tr,
+                "curriculum": {
+                    "fixed_level": fixed.level if fixed else -1,
+                    "specialist": specialist.specialist if specialist else -1,
+                    "thr_uniform_counter":
+                        threshold.uniform_counter if threshold else -1,
+                    "thr_uniform_sampling":
+                        bool(threshold.uniform_sampling) if threshold else False,
+                },
             }
-            snap = ckpt.restore("latest", target=snap)
+            if self.test_venv is not None:
+                snap["test_state"] = test_state
+                snap["test_obs"] = test_obs
+            return snap
+
+        if cfg.resume and ckpt.exists("latest"):
+            snap = ckpt.restore(
+                "latest", target=host_pytree(make_snapshot(0, 0))
+            )
             params = jax.device_put(snap["params"])
             opt_state = jax.device_put(snap["opt_state"])
+            env_state = jax.device_put(snap["env_state"])
+            obs = jax.device_put(snap["obs"])
+            stats = jax.device_put(snap["stats"])
+            key = jax.device_put(snap["key"])
             start_update = int(snap["update"])
             max_ep_reward = float(snap["max_ep_reward"])
+            tr = np.asarray(snap["test_rets"])
+            test_rets = tr[~np.isnan(tr)]
+            if self.test_venv is not None:
+                test_state = jax.device_put(snap["test_state"])
+                test_obs = jax.device_put(snap["test_obs"])
+            c = snap["curriculum"]
+            if fixed:
+                fixed.level = int(c["fixed_level"])
+            if specialist:
+                specialist.specialist = int(c["specialist"])
+            if threshold:
+                threshold.uniform_counter = int(c["thr_uniform_counter"])
+                threshold.uniform_sampling = bool(c["thr_uniform_sampling"])
             next_checkpoint = (
                 (int(snap["frames"]) // int(cfg.save_every)) + 1
             ) * cfg.save_every
             if self.mesh is not None:
-                from steppingstone_tpu.parallel import mesh as pmesh
-
                 params = pmesh.replicate_tree(self.mesh, params)
                 opt_state = pmesh.replicate_tree(self.mesh, opt_state)
+                env_state = pmesh.shard_env_tree(self.mesh, env_state)
+                obs = pmesh.shard_env_tree(self.mesh, obs)
+                stats = pmesh.shard_env_tree(self.mesh, stats)
             print(f"resumed from update {start_update}", flush=True)
 
         for j in range(start_update, cfg.num_updates):
@@ -278,24 +364,31 @@ class Trainer:
                     sampling_prob_log.append(adaptive.last_probs)
 
             # ---- the compiled update ---------------------------------
+            # reference alternation: `update_values` every other update
+            # (`train.py:515-519`, toggle commented there; opt-in here)
+            value_only = cfg.use_value_update and j % 2 == 1
+            it_fn = (
+                self._train_iteration_values if value_only
+                else self._train_iteration
+            )
             (params, opt_state, env_state, obs, stats, key, metrics, aux) = (
-                self._train_iteration(
+                it_fn(
                     params, opt_state, env_state, obs, stats, key,
                     jnp.asarray(lr, jnp.float32),
                 )
             )
 
             # ---- Monitor-style per-episode log (envs_utils.py:71-194) --
-            if cfg.episode_log:
-                done = np.asarray(aux["ep_done"])
+            if cfg.episode_log and jax.process_index() == 0:
+                done = _host(aux["ep_done"])
                 if done.any():
                     t_now = time.time() - start
                     with open(os.path.join(exp_dir, "episodes.csv"), "a") as f:
                         if f.tell() == 0:
                             f.write("r,l,t\n")
                         for r_, l_ in zip(
-                            np.asarray(aux["ep_return"])[done],
-                            np.asarray(aux["ep_len"])[done],
+                            _host(aux["ep_return"])[done],
+                            _host(aux["ep_len"])[done],
                         ):
                             f.write(f"{r_:.3f},{int(l_)},{t_now:.2f}\n")
 
@@ -305,14 +398,14 @@ class Trainer:
                 test_state, test_obs, test_stats = self._test_eval(
                     params, test_state, test_obs, k_t
                 )
-                tvalid = np.asarray(test_stats.valid)
-                test_rets = np.asarray(test_stats.ret)[tvalid]
+                tvalid = _host(test_stats.valid)
+                test_rets = _host(test_stats.ret)[tvalid]
             if threshold:
                 threshold.post_test()
 
             # ---- episode stats to host -------------------------------
-            valid = np.asarray(stats.valid)
-            rets = np.asarray(stats.ret)[valid]
+            valid = _host(stats.valid)
+            rets = _host(stats.ret)[valid]
             mean_rew = float(rets.mean()) if rets.size else 0.0
 
             # ---- fixed curriculum / specialist advance ----------------
@@ -336,23 +429,29 @@ class Trainer:
 
             # ---- checkpointing (reference cadence) --------------------
             frame_count = (j + 1) * cfg.num_steps * cfg.num_processes
-            snap = {
-                "params": params,
-                "opt_state": opt_state,
-                "update": j + 1,
-                "frames": frame_count,
-                "max_ep_reward": max(max_ep_reward, mean_rew),
-            }
-            if frame_count >= next_checkpoint or j == cfg.num_updates - 1:
-                ckpt.save(str(int(next_checkpoint)), host_pytree(snap))
-                next_checkpoint += cfg.save_every
-            if (j + 1) % cfg.checkpoint_interval == 0 or j == cfg.num_updates - 1:
-                ckpt.save("latest", host_pytree(snap))
-            if rets.size > 1 and mean_rew > max_ep_reward:
+            is_best = rets.size > 1 and mean_rew > max_ep_reward
+            if is_best:
                 max_ep_reward = mean_rew
-                ckpt.save("best", host_pytree(snap))
+            snap = None
+            save_numbered = frame_count >= next_checkpoint or j == cfg.num_updates - 1
+            save_latest = (
+                (j + 1) % cfg.checkpoint_interval == 0 or j == cfg.num_updates - 1
+            )
+            if save_numbered or save_latest or is_best:
+                # host_pytree allgathers cross-host shards (a collective —
+                # every process participates); only process 0 writes
+                snap = host_pytree(make_snapshot(j + 1, frame_count))
+            write = jax.process_index() == 0
+            if save_numbered:
+                if snap is not None and write:
+                    ckpt.save(str(int(next_checkpoint)), snap)
+                next_checkpoint += cfg.save_every
+            if save_latest and snap is not None and write:
+                ckpt.save("latest", snap)
+            if is_best and snap is not None and write:
+                ckpt.save("best", snap)
 
-            if cfg.save_sampling_prob and sampling_prob_log:
+            if cfg.save_sampling_prob and sampling_prob_log and jax.process_index() == 0:
                 import pickle
 
                 with open(
@@ -361,7 +460,7 @@ class Trainer:
                     pickle.dump(sampling_prob_log, fp)
 
             # ---- logging (reference train.py:564-578) -----------------
-            if rets.size > 1:
+            if rets.size > 1 and jax.process_index() == 0:
                 elapsed = time.time() - start
                 done_frames = frame_count - start_update * cfg.num_steps * cfg.num_processes
                 logger.log_epoch(
@@ -381,7 +480,20 @@ class Trainer:
 
 
 def main(argv=None):
+    # multi-host bring-up first: jax.devices() must see the global mesh
+    # before any backend touch (reference scale-out analog: the Slurm fleet
+    # scripts, `scripts/cedar_run_playground_train.sh:24-45`)
+    from steppingstone_tpu.parallel.mesh import maybe_initialize_distributed
+
+    distributed = maybe_initialize_distributed()
     cfg = parse_cli(argv)
+    if distributed:
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()} "
+            f"with {jax.local_device_count()} local / {jax.device_count()} "
+            "global devices",
+            flush=True,
+        )
     trainer = Trainer(cfg)
     trainer.train()
 

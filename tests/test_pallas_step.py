@@ -2,6 +2,11 @@
 
 Runs the kernel in interpreter mode (no TPU needed) on one 1024-env tile
 and checks q/qd/diagnostics against `engine._step_scan` under `vmap`.
+
+The fast CI guard uses a tiny 2-body pendulum model (the kernel fully
+unrolls the kinematic tree, so interpret-mode cost scales with body/joint
+count — the 21-joint walker variants take minutes on CPU and are marked
+`slow`; run them with `pytest -m slow`).
 """
 
 import jax
@@ -13,10 +18,26 @@ from steppingstone_tpu.physics import contact as ct
 from steppingstone_tpu.physics import engine
 from steppingstone_tpu.physics import pallas_step
 from steppingstone_tpu.physics.dynamics import GRAVITY
+from steppingstone_tpu.physics.model import build_model
 from steppingstone_tpu.physics.robots.walker3d import walker3d
 
 B = pallas_step.TILE
 N_STONES = 6
+
+
+def small_model():
+    """2-body, 1-joint pendulum with a foot-like contact sphere."""
+    bodies = [
+        dict(name="base", mass=5.0, inertia=(0.5, 0.5, 0.5), root_height=1.0),
+        dict(name="arm", parent="base", anchor=(0, 0, 0), axis=(0, 1, 0),
+             mass=1.0, com=(0, 0, -0.5), inertia=(0.05, 0.05, 0.05),
+             damping=0.1, limits=(-2.0, 2.0)),
+    ]
+    contacts = [
+        dict(body="arm", offset=(0, 0, -0.5), radius=0.05),
+        dict(body="base", offset=(0, 0, -0.1), radius=0.05),
+    ]
+    return build_model("pendulum", bodies, contacts)
 
 
 def _random_inputs(key, model):
@@ -39,9 +60,7 @@ def _random_inputs(key, model):
     return q, qd, tau, stones, sr, ug
 
 
-@pytest.mark.parametrize("substeps", [1, 4])
-def test_pallas_matches_scan(substeps):
-    model = walker3d()
+def _check_parity(model, substeps):
     cparams = ct.ContactParams()
     q, qd, tau, stones, sr, ug = _random_inputs(jax.random.PRNGKey(0), model)
 
@@ -74,3 +93,17 @@ def test_pallas_matches_scan(substeps):
         np.asarray(d["joint_at_limit"]) == np.asarray(info_ref.joint_at_limit)
     )
     assert al_match > 0.999, al_match
+
+
+@pytest.mark.parametrize("substeps", [1, 4])
+def test_pallas_matches_scan_small(substeps):
+    """Fast CI guard on the kernel: tiny model, full contact/limit paths."""
+    _check_parity(small_model(), substeps)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("substeps", [1, 4])
+def test_pallas_matches_scan_walker(substeps):
+    """Full Walker3D parity (minutes of CPU interpret time; run with
+    `pytest -m slow`)."""
+    _check_parity(walker3d(), substeps)

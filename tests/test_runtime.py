@@ -148,3 +148,92 @@ def test_tiny_training_run(tmp_path):
     csv = open(tmp_path / "run" / "progress.csv").read().strip().splitlines()
     assert len(csv) >= 2  # header + >=1 row
     assert os.path.isdir(tmp_path / "run" / "checkpoints" / "latest")
+
+
+def _csv_rows(path):
+    rows = open(path).read().strip().splitlines()
+    header = rows[0].split(",")
+    out = {}
+    for r in rows[1:]:
+        vals = dict(zip(header, r.split(",")))
+        out[int(vals["iter"])] = vals
+    return header, out
+
+
+def test_resume_is_bitwise_total(tmp_path):
+    """Full-resume acceptance (SURVEY §5 'full bitwise resume'): train 2
+    updates + resume for 2 more == one unbroken 4-update run, identical
+    progress.csv metrics (all columns except wall-clock fps)."""
+    from steppingstone_tpu.runtime.train import Trainer
+
+    base = [
+        "env_name=Walker3DStepperEnv-v0", "num_processes=8",
+        "episode_steps=128", "mini_batch_size=64", "num_tests=0",
+        "use_curriculum=True", "seed=3", "checkpoint_interval=1",
+    ]
+    # unbroken 4-update run
+    cfg_a = parse_cli(base + ["num_frames=512", f"experiment_dir={tmp_path}/a"])
+    Trainer(cfg_a).train()
+    # 2 updates, then resume to 4
+    cfg_b1 = parse_cli(base + ["num_frames=256", f"experiment_dir={tmp_path}/b"])
+    Trainer(cfg_b1).train()
+    cfg_b2 = parse_cli(
+        base + ["num_frames=512", "resume=True", f"experiment_dir={tmp_path}/b"]
+    )
+    Trainer(cfg_b2).train()
+
+    header, rows_a = _csv_rows(tmp_path / "a" / "progress.csv")
+    _, rows_b = _csv_rows(tmp_path / "b" / "progress.csv")
+    assert set(rows_a) == set(rows_b)
+    skip = {"fps"}
+    for it in rows_a:
+        for col in header:
+            if col in skip:
+                continue
+            va, vb = float(rows_a[it][col]), float(rows_b[it][col])
+            assert va == pytest.approx(vb, rel=1e-5, abs=1e-6), (
+                f"iter {it} col {col}: unbroken={va} resumed={vb}"
+            )
+
+
+def test_distributed_two_process(tmp_path):
+    """Multi-host wiring (reference scale-out analog:
+    `scripts/cedar_run_playground_train.sh:24-45`): the same tiny training
+    run executes under 2 coordinator-connected host processes with 4
+    virtual CPU devices each, sharded over the global 8-device mesh."""
+    import subprocess
+    import sys
+
+    script = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["STEPPINGSTONE_NO_COMPILE_CACHE"] = "1"
+from steppingstone_tpu.runtime.train import main
+main([
+    "env_name=Walker3DStepperEnv-v0", "num_processes=8",
+    "episode_steps=128", "mini_batch_size=64", "num_frames=256",
+    "num_tests=0", "use_curriculum=True", "seed=3",
+    "experiment_dir=" + sys.argv[1],
+])
+"""
+    env_base = {
+        k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)
+    }
+    procs = []
+    for rank in range(2):
+        env = dict(
+            env_base,
+            JAX_COORDINATOR_ADDRESS="localhost:12357",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", script, str(tmp_path / "dist")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ))
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    assert os.path.exists(tmp_path / "dist" / "progress.csv")
