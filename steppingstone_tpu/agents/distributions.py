@@ -7,10 +7,14 @@ Matches the reference's monkey-patched `FixedNormal` semantics
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-LOG_2PI = jnp.log(2.0 * jnp.pi)
+# python float, not a jnp array: module import must not initialize the XLA
+# backend (jax.distributed.initialize for multi-host runs comes later)
+LOG_2PI = math.log(2.0 * math.pi)
 
 
 def sample(key, mean, logstd):

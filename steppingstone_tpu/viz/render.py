@@ -17,29 +17,47 @@ import argparse
 
 import numpy as np
 
-# skeleton edges by body name (drawn if both endpoints exist)
+# skeleton edges by body name (drawn if both endpoints exist), with a
+# capsule radius (m) so bodies render with their approximate geometry
+# (reference shows solid capsule bodies in the PyBullet GUI)
 _EDGES = [
-    ("pelvis", "torso"),
-    ("pelvis", "right_thigh"), ("right_thigh", "right_shin"),
-    ("right_shin", "right_foot"),
-    ("pelvis", "left_thigh"), ("left_thigh", "left_shin"),
-    ("left_shin", "left_foot"),
-    ("torso", "right_upper_arm"), ("right_upper_arm", "right_forearm"),
-    ("torso", "left_upper_arm"), ("left_upper_arm", "left_forearm"),
+    ("pelvis", "torso", 0.14),
+    ("pelvis", "right_thigh", 0.09), ("right_thigh", "right_shin", 0.07),
+    ("right_shin", "right_foot", 0.05),
+    ("pelvis", "left_thigh", 0.09), ("left_thigh", "left_shin", 0.07),
+    ("left_shin", "left_foot", 0.05),
+    ("torso", "right_upper_arm", 0.05), ("right_upper_arm", "right_forearm", 0.04),
+    ("torso", "left_upper_arm", 0.05), ("left_upper_arm", "left_forearm", 0.04),
     # cassie
-    ("pelvis", "right_thigh"), ("right_thigh", "right_shin"),
-    ("right_shin", "right_tarsus"), ("right_tarsus", "right_toe"),
-    ("left_shin", "left_tarsus"), ("left_tarsus", "left_toe"),
+    ("right_shin", "right_tarsus", 0.05), ("right_tarsus", "right_toe", 0.04),
+    ("left_shin", "left_tarsus", 0.05), ("left_tarsus", "left_toe", 0.04),
 ]
 
 
 def _edge_indices(names):
     idx = {n: i for i, n in enumerate(names)}
-    out = []
-    for a, b in _EDGES:
-        if a in idx and b in idx and (idx[a], idx[b]) not in out:
-            out.append((idx[a], idx[b]))
+    out, seen = [], set()
+    for a, b, r in _EDGES:
+        if a in idx and b in idx and (idx[a], idx[b]) not in seen:
+            seen.add((idx[a], idx[b]))
+            out.append((idx[a], idx[b], r))
     return out
+
+
+def make_writer(out: str, fps: int):
+    """Pick a movie writer for the output extension: mp4/webm when an
+    encoder is on PATH (reference dumps mp4 via moviepy,
+    `playground/enjoy.py:370-377`), GIF via Pillow otherwise."""
+    from matplotlib import animation
+
+    if out.endswith((".mp4", ".webm", ".mkv")):
+        if animation.FFMpegWriter.isAvailable():
+            return animation.FFMpegWriter(fps=fps)
+        raise SystemExit(
+            f"{out!r} needs ffmpeg, which is not on PATH here — "
+            "use a .gif output instead"
+        )
+    return animation.PillowWriter(fps=fps)
 
 
 def draw_frame(ax, pos, edges, stones, stone_radius=0.25):
@@ -50,9 +68,13 @@ def draw_frame(ax, pos, edges, stones, stone_radius=0.25):
         ax.plot(s[0] + stone_radius * np.cos(th),
                 s[1] + stone_radius * np.sin(th),
                 s[2] * np.ones_like(th), color="#888", lw=0.8)
-    for a, b in edges:
+    # capsule-ish bodies: linewidth in points scaled from the capsule
+    # radius (round caps close the capsule ends)
+    for a, b, r in edges:
         ax.plot([pos[a, 0], pos[b, 0]], [pos[a, 1], pos[b, 1]],
-                [pos[a, 2], pos[b, 2]], color="tab:blue", lw=2)
+                [pos[a, 2], pos[b, 2]], color="tab:blue",
+                lw=max(2.0, 90.0 * r), alpha=0.85,
+                solid_capstyle="round")
     ax.scatter(pos[:, 0], pos[:, 1], pos[:, 2], s=6, color="tab:red")
     c = pos[0]
     ax.set_xlim(c[0] - 2, c[0] + 2)
@@ -96,7 +118,7 @@ def main(argv=None):
         print(f"wrote {args.out}")
         return
 
-    from matplotlib.animation import FuncAnimation, PillowWriter
+    from matplotlib.animation import FuncAnimation
 
     fig = plt.figure(figsize=(6, 5))
     ax = fig.add_subplot(projection="3d")
@@ -107,7 +129,7 @@ def main(argv=None):
         return []
 
     anim = FuncAnimation(fig, update, frames=frames, blit=False)
-    anim.save(args.out, writer=PillowWriter(fps=args.fps))
+    anim.save(args.out, writer=make_writer(args.out, args.fps))
     print(f"wrote {args.out} ({len(list(frames))} frames)")
 
 

@@ -7,6 +7,11 @@ offline figure rendered from an `enjoy --dump` trajectory.
 
 Usage:
   python -m steppingstone_tpu.viz.stats_hud traj.npz --out hud.png
+  python -m steppingstone_tpu.viz.stats_hud traj.npz --out hud.png --follow 2
+
+`--follow N` keeps the HUD live (reference `StatsVisualizer.update_plot`,
+`render_utils.py:180`): it polls the npz every N seconds and re-renders
+whenever the dump is rewritten (e.g. `enjoy --dump` refreshing the file).
 """
 
 from __future__ import annotations
@@ -20,13 +25,37 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("npz")
     ap.add_argument("--out", required=True)
+    ap.add_argument("--follow", type=float, default=0.0, metavar="SECONDS",
+                    help="live mode: poll the npz and re-render on change")
     args = ap.parse_args(argv)
 
+    if args.follow > 0:
+        import os
+        import time
+
+        last = None
+        while True:
+            try:
+                mtime = os.path.getmtime(args.npz)
+            except OSError:
+                time.sleep(args.follow)
+                continue
+            if mtime != last:
+                last = mtime
+                try:
+                    render_hud(args.npz, args.out)
+                except (ValueError, KeyError, EOFError):
+                    pass  # dump mid-rewrite; retry next poll
+            time.sleep(args.follow)
+    render_hud(args.npz, args.out)
+
+
+def render_hud(npz_path, out_path):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    data = np.load(args.npz, allow_pickle=True)
+    data = np.load(npz_path, allow_pickle=True)
     actions = data["actions"]            # (T, A)
     values = data["values"]              # (T,)
     rewards = data["rewards"]            # (T,)
@@ -73,8 +102,9 @@ def main(argv=None):
         axes.flat[k].axis("off")
 
     fig.tight_layout()
-    fig.savefig(args.out, dpi=110, facecolor="black")
-    print(f"wrote {args.out}")
+    fig.savefig(out_path, dpi=110, facecolor="black")
+    plt.close(fig)
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
