@@ -23,3 +23,17 @@ on-device under `jit`:
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when the host image pins a platform list via a
+# sitecustomize hook that calls jax.config.update("jax_platforms", ...)
+# AFTER jax reads the env var (symptom: JAX_PLATFORMS=cpu still dispatches
+# to the tunneled TPU at ~100 ms/op). An explicit config update wins.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized; leave it be

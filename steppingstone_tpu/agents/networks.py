@@ -26,6 +26,18 @@ from flax import linen as nn
 
 HIDDEN = 256
 
+# Exploration floor: the reference never clamps its learned logstd and its
+# warm-start floor is -2.5 (`controller.py:102`); without a floor long runs
+# can collapse exploration (observed: mean reward 1157 -> 277 at logstd
+# ~ -2.9 late in a 2e8-frame run). Everything that *consumes* the logstd
+# param goes through `clamped_logstd`.
+LOGSTD_MIN = -3.0
+
+
+def clamped_logstd(params):
+    """The policy's logstd param with the exploration floor applied."""
+    return jnp.maximum(params["params"]["logstd"], LOGSTD_MIN)
+
 
 def torch_linear_init(key, shape, dtype=jnp.float32):
     """torch.nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""

@@ -63,8 +63,10 @@ def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
 
 
 def _losses(apply_fn, params, cfg: PPOConfig, mb):
+    from steppingstone_tpu.agents.networks import clamped_logstd
+
     mean = apply_fn(params, mb["obs"], method="action_mean")
-    logstd = params["params"]["logstd"]
+    logstd = clamped_logstd(params)
     values = apply_fn(params, mb["obs"], method="ensemble_values")  # (B, E)
 
     log_probs = dist.log_prob(mean, logstd, mb["actions"])          # (B, 1)

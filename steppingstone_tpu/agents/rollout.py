@@ -55,8 +55,10 @@ class EpisodeStats(NamedTuple):
 
 
 def policy_action(apply_fn, params, obs, key, deterministic: bool):
+    from steppingstone_tpu.agents.networks import clamped_logstd
+
     mean = apply_fn(params, obs, method="action_mean")
-    logstd = jnp.broadcast_to(params["params"]["logstd"], mean.shape)
+    logstd = jnp.broadcast_to(clamped_logstd(params), mean.shape)
     if deterministic:
         action = mean
     else:

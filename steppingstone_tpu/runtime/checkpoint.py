@@ -21,21 +21,39 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str):
+    """`async_=True` defers the commit to orbax's background thread
+    (StandardCheckpointer IS an AsyncCheckpointer): `save` returns once the
+    host snapshot is handed off, and the next `save`/`restore` joins any
+    in-flight write first. The trainer passes host-numpy pytrees, so the
+    handoff itself costs no device sync.
+
+    Multi-process safety: orbax's save/finalize runs barrier collectives
+    internally (`multihost.sync_global_processes`), so on multi-host meshes
+    **every** process must call `save` with the same (replicated) pytree —
+    orbax lets only the primary host touch the filesystem."""
+
+    def __init__(self, directory: str, async_: bool = False):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._async = async_
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, tag)
 
     def save(self, tag: str, state: Any):
         """Save a pytree under `tag` (e.g. 'latest', 'best', '10000000')."""
+        self._ckptr.wait_until_finished()  # join any in-flight async save
         self._ckptr.save(self._path(tag), state, force=True)
+        if not self._async:
+            self._ckptr.wait_until_finished()
+
+    def wait(self):
         self._ckptr.wait_until_finished()
 
     def restore(self, tag: str, target: Any | None = None) -> Any:
         """Restore; `target` provides the pytree structure/shapes."""
+        self._ckptr.wait_until_finished()
         if target is not None:
             return self._ckptr.restore(self._path(tag), target=target)
         return self._ckptr.restore(self._path(tag))

@@ -15,13 +15,20 @@ import numpy as np
 
 
 class CSVLogger:
-    def __init__(self, log_dir, filename="progress.csv"):
+    def __init__(self, log_dir, filename="progress.csv", resume=False):
         os.makedirs(log_dir, exist_ok=True)
         path = os.path.join(log_dir, filename)
-        # append so resumed runs extend the same learning curve; write the
-        # header only for a fresh file
-        had_rows = os.path.exists(path) and os.path.getsize(path) > 0
-        self.csvfile = open(path, "a", newline="")
+        # append only when resuming (so the learning curve continues);
+        # a fresh run pointed at an existing dir truncates — appending rows
+        # under a stale header silently corrupts the curve
+        had_rows = (
+            resume and os.path.exists(path) and os.path.getsize(path) > 0
+        )
+        self._expected_header = None
+        if had_rows:
+            with open(path, newline="") as f:
+                self._expected_header = f.readline().strip().split(",")
+        self.csvfile = open(path, "a" if had_rows else "w", newline="")
         self._header_written = had_rows
         self.writer = None
 
@@ -29,6 +36,13 @@ class CSVLogger:
         for group, prefix in (("stats", ""), ("test_stats", "test_")):
             if group in data:
                 for key, values in data[group].items():
+                    if values is None:
+                        # stale between eval intervals: blank, not repeated
+                        # (the reference evaluates every update; with
+                        # test_interval > 1 repeating old numbers misleads)
+                        for agg in ("mean", "median", "min", "max"):
+                            data[f"{prefix}{agg}_{key}"] = ""
+                        continue
                     values = np.asarray(values)
                     if values.size == 0:
                         values = np.array([0.0])
@@ -42,7 +56,14 @@ class CSVLogger:
     def log_epoch(self, data: dict):
         data = self._expand_stats(dict(data))
         if self.writer is None:
-            self.writer = csv.DictWriter(self.csvfile, fieldnames=list(data))
+            fields = list(data)
+            if self._expected_header is not None and self._expected_header != fields:
+                # resumed against a file with a different column set: start
+                # fresh rather than misalign rows under the old header
+                self.csvfile.close()
+                self.csvfile = open(self.csvfile.name, "w", newline="")
+                self._header_written = False
+            self.writer = csv.DictWriter(self.csvfile, fieldnames=fields)
             if not self._header_written:
                 self.writer.writeheader()
                 self._header_written = True
@@ -63,6 +84,7 @@ class ConsoleCSVLogger(CSVLogger):
 
     def log_epoch(self, data: dict):
         data = super().log_epoch(data)
+        f = lambda x: float("nan") if x in ("", None) else float(x)
         if data["iter"] % self.console_log_interval == 0:
             print(
                 "Updates {}, num timesteps {}, FPS {}, "
@@ -73,8 +95,8 @@ class ConsoleCSVLogger(CSVLogger):
                     data["iter"], data["total_num_steps"], data["fps"],
                     data["mean_rew"], data["median_rew"],
                     data["min_rew"], data["max_rew"],
-                    data.get("test_mean_rew", 0.0), data.get("test_median_rew", 0.0),
-                    data.get("test_min_rew", 0.0), data.get("test_max_rew", 0.0),
+                    f(data.get("test_mean_rew", 0.0)), f(data.get("test_median_rew", 0.0)),
+                    f(data.get("test_min_rew", 0.0)), f(data.get("test_max_rew", 0.0)),
                     data["entropy"], data["value_loss"], data["action_loss"],
                 ),
                 flush=True,

@@ -127,15 +127,24 @@ class Trainer:
                 in_shardings=(repl, env_s, env_s, repl) if test_ok else None,
                 out_shardings=(env_s, env_s, env_s) if test_ok else None,
             )
+            # same shardings for the value-only variant: without explicit
+            # out_shardings its aux could come back non-replicated and
+            # deadlock the process-gated episode_log gathers downstream
+            self._train_iteration_values = jax.jit(
+                partial(self._train_iteration_impl, value_only=True),
+                donate_argnums=(0, 1, 2, 3, 4),
+                in_shardings=(repl, repl, env_s, env_s, env_s, repl, repl),
+                out_shardings=(repl, repl, env_s, env_s, env_s, repl, repl, repl),
+            )
         else:
             self._train_iteration = jax.jit(
                 self._train_iteration_impl, donate_argnums=(0, 1, 2, 3, 4)
             )
             self._test_eval = jax.jit(self._test_eval_impl, donate_argnums=(1, 2))
-        self._train_iteration_values = jax.jit(
-            partial(self._train_iteration_impl, value_only=True),
-            donate_argnums=(0, 1, 2, 3, 4),
-        )
+            self._train_iteration_values = jax.jit(
+                partial(self._train_iteration_impl, value_only=True),
+                donate_argnums=(0, 1, 2, 3, 4),
+            )
 
     # ------------------------------------------------------------------
     def init_params(self, key):
@@ -165,9 +174,11 @@ class Trainer:
                               value_only: bool = False):
         cfg = self.cfg
         key, k_roll, k_upd = jax.random.split(key, 3)
+        # value-only updates collect deterministic rollouts, like the
+        # reference (`train.py:369` evaluates with the mean action)
         env_state, obs, stats, traj, aux = collect_rollout(
             self.venv.step, self.net.apply, params, env_state, obs, stats,
-            k_roll, cfg.num_steps,
+            k_roll, cfg.num_steps, deterministic=value_only,
         )
         last_value = self.net.apply(params, obs, method="value")  # (N, 1)
 
@@ -216,6 +227,10 @@ class Trainer:
 
         params = self.init_params(k_init)
         opt_state = self.tx.init(params)
+        # value-only updates get their OWN Adam moments, like the reference's
+        # separate `value_optimizer` (`algorithms/ppo.py:36-38`) — sharing
+        # one state would cross-contaminate the two objectives' moments
+        value_opt_state = self.tx.init(params)
         env_state, obs = self.venv.reset(k_env)
         if cfg.use_phase_mirror:
             # reference: envs.set_mirror(use_phase_mirror) (train.py:109-111)
@@ -231,6 +246,7 @@ class Trainer:
 
             params = pmesh.replicate_tree(self.mesh, params)
             opt_state = pmesh.replicate_tree(self.mesh, opt_state)
+            value_opt_state = pmesh.replicate_tree(self.mesh, value_opt_state)
             env_state = pmesh.shard_env_tree(self.mesh, env_state)
             obs = pmesh.shard_env_tree(self.mesh, obs)
             stats = pmesh.shard_env_tree(self.mesh, stats)
@@ -257,8 +273,12 @@ class Trainer:
             if cfg.use_threshold_sampling else None
         )
 
-        ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints"))
-        logger = ConsoleCSVLogger(exp_dir, console_log_interval=cfg.log_interval)
+        ckpt = CheckpointManager(
+            os.path.join(exp_dir, "checkpoints"), async_=cfg.checkpoint_async
+        )
+        logger = ConsoleCSVLogger(
+            exp_dir, console_log_interval=cfg.log_interval, resume=cfg.resume
+        )
         sampling_prob_log = []
 
         start = time.time()
@@ -278,6 +298,7 @@ class Trainer:
             snap = {
                 "params": params,
                 "opt_state": opt_state,
+                "value_opt_state": value_opt_state,
                 "env_state": env_state,
                 "obs": obs,
                 "stats": stats,
@@ -301,28 +322,59 @@ class Trainer:
             return snap
 
         if cfg.resume and ckpt.exists("latest"):
-            snap = ckpt.restore(
-                "latest", target=host_pytree(make_snapshot(0, 0))
-            )
+            # restore against the current snapshot layout; fall back through
+            # the older layouts (r2: no value_opt_state; r1: params+opt
+            # +counters only) so old checkpoints degrade instead of failing
+            full = host_pytree(make_snapshot(0, 0))
+            legacy = {k: v for k, v in full.items() if k != "value_opt_state"}
+            minimal = {
+                k: full[k]
+                for k in ("params", "opt_state", "update", "frames", "max_ep_reward")
+            }
+            snap = None
+            for name, target in (
+                ("full", full), ("r2-layout", legacy), ("params-only", minimal)
+            ):
+                try:
+                    snap = ckpt.restore("latest", target=target)
+                    if name != "full":
+                        print(
+                            f"latest checkpoint predates the current snapshot "
+                            f"layout; resumed with the {name} subset",
+                            flush=True,
+                        )
+                    break
+                except Exception:
+                    continue
+            if snap is None:
+                raise RuntimeError(
+                    "resume=True but checkpoints/latest matches no known "
+                    "snapshot layout"
+                )
             params = jax.device_put(snap["params"])
             opt_state = jax.device_put(snap["opt_state"])
-            env_state = jax.device_put(snap["env_state"])
-            obs = jax.device_put(snap["obs"])
-            stats = jax.device_put(snap["stats"])
-            key = jax.device_put(snap["key"])
+            if "value_opt_state" in snap:
+                value_opt_state = jax.device_put(snap["value_opt_state"])
+            if "env_state" in snap:
+                env_state = jax.device_put(snap["env_state"])
+            if "obs" in snap:
+                obs = jax.device_put(snap["obs"])
+                stats = jax.device_put(snap["stats"])
+                key = jax.device_put(snap["key"])
             start_update = int(snap["update"])
             max_ep_reward = float(snap["max_ep_reward"])
-            tr = np.asarray(snap["test_rets"])
-            test_rets = tr[~np.isnan(tr)]
-            if self.test_venv is not None:
+            if "test_rets" in snap:
+                tr = np.asarray(snap["test_rets"])
+                test_rets = tr[~np.isnan(tr)]
+            if self.test_venv is not None and "test_state" in snap:
                 test_state = jax.device_put(snap["test_state"])
                 test_obs = jax.device_put(snap["test_obs"])
-            c = snap["curriculum"]
-            if fixed:
+            c = snap.get("curriculum", {})
+            if fixed and "fixed_level" in c:
                 fixed.level = int(c["fixed_level"])
-            if specialist:
+            if specialist and "specialist" in c:
                 specialist.specialist = int(c["specialist"])
-            if threshold:
+            if threshold and "thr_uniform_counter" in c:
                 threshold.uniform_counter = int(c["thr_uniform_counter"])
                 threshold.uniform_sampling = bool(c["thr_uniform_sampling"])
             next_checkpoint = (
@@ -331,6 +383,7 @@ class Trainer:
             if self.mesh is not None:
                 params = pmesh.replicate_tree(self.mesh, params)
                 opt_state = pmesh.replicate_tree(self.mesh, opt_state)
+                value_opt_state = pmesh.replicate_tree(self.mesh, value_opt_state)
                 env_state = pmesh.shard_env_tree(self.mesh, env_state)
                 obs = pmesh.shard_env_tree(self.mesh, obs)
                 stats = pmesh.shard_env_tree(self.mesh, stats)
@@ -371,28 +424,35 @@ class Trainer:
                 self._train_iteration_values if value_only
                 else self._train_iteration
             )
-            (params, opt_state, env_state, obs, stats, key, metrics, aux) = (
+            it_opt = value_opt_state if value_only else opt_state
+            (params, it_opt, env_state, obs, stats, key, metrics, aux) = (
                 it_fn(
-                    params, opt_state, env_state, obs, stats, key,
+                    params, it_opt, env_state, obs, stats, key,
                     jnp.asarray(lr, jnp.float32),
                 )
             )
+            if value_only:
+                value_opt_state = it_opt
+            else:
+                opt_state = it_opt
 
             # ---- Monitor-style per-episode log (envs_utils.py:71-194) --
-            if cfg.episode_log and jax.process_index() == 0:
+            if cfg.episode_log:
+                # _host allgathers cross-host shards — a collective; every
+                # process gathers, only process 0 writes the file
                 done = _host(aux["ep_done"])
-                if done.any():
+                ep_ret = _host(aux["ep_return"])
+                ep_len = _host(aux["ep_len"])
+                if done.any() and jax.process_index() == 0:
                     t_now = time.time() - start
                     with open(os.path.join(exp_dir, "episodes.csv"), "a") as f:
                         if f.tell() == 0:
                             f.write("r,l,t\n")
-                        for r_, l_ in zip(
-                            _host(aux["ep_return"])[done],
-                            _host(aux["ep_len"])[done],
-                        ):
+                        for r_, l_ in zip(ep_ret[done], ep_len[done]):
                             f.write(f"{r_:.3f},{int(l_)},{t_now:.2f}\n")
 
             # ---- test fleet (reference train.py:472-500) -------------
+            test_fresh = False
             if cfg.num_tests > 0 and (j % cfg.test_interval == 0):
                 key, k_t = jax.random.split(key)
                 test_state, test_obs, test_stats = self._test_eval(
@@ -400,6 +460,7 @@ class Trainer:
                 )
                 tvalid = _host(test_stats.valid)
                 test_rets = _host(test_stats.ret)[tvalid]
+                test_fresh = True
             if threshold:
                 threshold.post_test()
 
@@ -438,17 +499,19 @@ class Trainer:
                 (j + 1) % cfg.checkpoint_interval == 0 or j == cfg.num_updates - 1
             )
             if save_numbered or save_latest or is_best:
-                # host_pytree allgathers cross-host shards (a collective —
-                # every process participates); only process 0 writes
+                # host_pytree allgathers cross-host shards AND orbax's save
+                # runs barrier collectives internally — so EVERY process
+                # builds the snapshot and enters ckpt.save (orbax lets only
+                # the primary host write; a process-0-only save deadlocks
+                # at orbax's sync_global_processes)
                 snap = host_pytree(make_snapshot(j + 1, frame_count))
-            write = jax.process_index() == 0
             if save_numbered:
-                if snap is not None and write:
+                if snap is not None:
                     ckpt.save(str(int(next_checkpoint)), snap)
                 next_checkpoint += cfg.save_every
-            if save_latest and snap is not None and write:
+            if save_latest and snap is not None:
                 ckpt.save("latest", snap)
-            if is_best and snap is not None and write:
+            if is_best and snap is not None:
                 ckpt.save("best", snap)
 
             if cfg.save_sampling_prob and sampling_prob_log and jax.process_index() == 0:
@@ -458,6 +521,15 @@ class Trainer:
                     os.path.join(exp_dir, f"{cfg.env_name}_sampling_prob.pkl"), "wb"
                 ) as fp:
                     pickle.dump(sampling_prob_log, fp)
+            # live sampling-prob heatmap (headless analog of the reference's
+            # `plot_prob` in-loop matplotlib window)
+            if cfg.plot_prob and sampling_prob_log and jax.process_index() == 0:
+                from steppingstone_tpu.viz.sampling_prob import render_grid
+
+                render_grid(
+                    sampling_prob_log[-1],
+                    os.path.join(exp_dir, "sampling_prob.png"),
+                )
 
             # ---- logging (reference train.py:564-578) -----------------
             if rets.size > 1 and jax.process_index() == 0:
@@ -472,10 +544,15 @@ class Trainer:
                         "value_loss": float(metrics.value_loss),
                         "action_loss": float(metrics.action_loss),
                         "stats": {"rew": rets},
-                        "test_stats": {"rew": test_rets if test_rets.size else np.zeros(1)},
+                        # blank (not repeated) between test intervals
+                        "test_stats": {
+                            "rew": (test_rets if test_rets.size else np.zeros(1))
+                            if test_fresh or cfg.test_interval == 1 else None
+                        },
                     }
                 )
 
+        ckpt.wait()  # join any in-flight async checkpoint before returning
         return params
 
 

@@ -18,6 +18,25 @@ import pickle
 import numpy as np
 
 
+def render_grid(prob: np.ndarray, out_path: str):
+    """One 11x11 grid -> heatmap PNG. Called from the training loop when
+    `plot_prob=True` (headless analog of the reference's live window)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(4.5, 4))
+    im = ax.pcolormesh(np.asarray(prob), shading="auto")
+    ax.set_xlabel("pitch index")
+    ax.set_ylabel("yaw index")
+    ax.set_title("stone sampling probability")
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("pkl")
