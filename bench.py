@@ -1,15 +1,23 @@
 """Headline benchmark: END-TO-END training throughput on Walker3DStepper.
 
 Times the full compiled `train_iteration` (rollout scan + bootstrap + GAE +
-10 PPO epochs of minibatch SGD — everything the reference's per-update
-`fps` metric covers, `playground/train.py:571`) at the BASELINE.json
-north-star shape: 4096 envs on one chip.  Also reports the rollout-only
-(policy act + physics step) rate as a breakdown field.
+10 PPO epochs of mirror-augmented minibatch SGD — everything the
+reference's per-update `fps` metric covers, `playground/train.py:571`) at
+the BASELINE.json north-star shape: 4096 envs on one chip, the Pallas
+fused physics kernel active under a 1-device mesh `shard_map`.
 
-The reference publishes no numbers (BASELINE.md); `vs_baseline` divides by
-an estimated 30k env-frames/s for the reference rig (100 PyBullet worker
-processes at the reference's logged end-to-end `fps` on a cluster CPU
-node — generous for a 21-DoF humanoid at 60 Hz control, frame-skip 4).
+Timing discipline: TWO warmup iterations before the timed loop. The first
+call compiles for the fresh (uncommitted-sharding) inputs; its outputs
+carry the jit's committed out_shardings, so the *second* call compiles
+again for those — timing from the first output used to hide a ~38 s
+recompile inside the timed loop (this was BENCH_r02's 11.9 s/iter
+artifact; steady state is ~0.7 s).
+
+`vs_baseline` divides by 123,636 env-steps/s — the measured end-to-end
+rate of this framework's own round-2 committed training run (512 envs,
+`runs/w3d_curriculum/progress.csv` iter 976, includes test evals and
+checkpointing). The reference itself publishes no numbers (BASELINE.md);
+its compute envelope is a 100-process PyBullet CPU rig.
 
 Prints ONE JSON line.
 """
@@ -23,12 +31,15 @@ import time
 import jax
 import jax.numpy as jnp
 
-REFERENCE_FPS_ESTIMATE = 30_000.0
+BASELINE_FPS = 123_636.0  # measured r2 512-env run (progress.csv iter 976)
 NUM_ENVS = 4096
 ROLLOUT_CHUNK = 25      # control steps per rollout-only timed program
 ROLLOUT_REPEATS = 4
 TRAIN_STEPS = 100       # rollout length inside the timed train iteration
-TRAIN_REPEATS = 3
+TRAIN_REPEATS = 5
+
+# fp32 peak of one TPU v5e chip (MXU fp32 path), for the MFU estimate
+V5E_FP32_PEAK = 49e12
 
 
 def _rollout_only(net, venv, params, env_state, obs, n_envs):
@@ -49,6 +60,10 @@ def _rollout_only(net, venv, params, env_state, obs, n_envs):
         return env_state, obs, key, rew.sum()
 
     key = jax.random.PRNGKey(1)
+    # two warmups: fresh-input compile, then committed-output compile
+    env_state, obs, key, _ = jax.block_until_ready(
+        rollout_chunk(params, env_state, obs, key)
+    )
     env_state, obs, key, _ = jax.block_until_ready(
         rollout_chunk(params, env_state, obs, key)
     )
@@ -60,6 +75,15 @@ def _rollout_only(net, venv, params, env_state, obs, n_envs):
     return n_envs * ROLLOUT_CHUNK * ROLLOUT_REPEATS / dt
 
 
+def _flops_per_frame(obs_dim=60, act_dim=21, hidden=256, epochs=10,
+                     mirror=2, ensembles=1):
+    """Update-phase matmul FLOPs per env frame (MAC*2; fwd+bwd ~ 3x fwd)."""
+    actor = obs_dim * hidden + 5 * hidden * hidden + hidden * act_dim
+    critic = ensembles * (obs_dim * hidden + 4 * hidden * hidden + hidden)
+    fwd = 2 * (actor + critic)
+    return fwd * 3 * mirror * epochs
+
+
 def main():
     from steppingstone_tpu.agents.rollout import EpisodeStats
     from steppingstone_tpu.runtime.config import TrainConfig
@@ -69,9 +93,9 @@ def main():
     n_envs = NUM_ENVS if backend in ("tpu", "gpu") else 256
     steps = TRAIN_STEPS if backend in ("tpu", "gpu") else 8
     frames = n_envs * steps
-    # keep the reference's ~39-minibatch/epoch ratio
-    # (episode_steps/mini_batch = 40000/1024, playground/train.py:59-63)
-    mini = max(256, frames // 39)
+    # 100 minibatches/epoch: the shape the committed r2 curriculum run
+    # trained with (2048 at 512 envs); 4096 rows is MXU-aligned
+    mini = max(256, frames // 100)
 
     cfg = TrainConfig(
         env_name="Walker3DStepperEnv-v0",
@@ -97,6 +121,8 @@ def main():
 
     lr = jnp.asarray(3e-4, jnp.float32)
     args = (params, opt_state, env_state, obs, stats, key, lr)
+    # two warmups (see module docstring)
+    args = jax.block_until_ready(trainer._train_iteration(*args))[:6] + (lr,)
     args = jax.block_until_ready(trainer._train_iteration(*args))[:6] + (lr,)
     t0 = time.perf_counter()
     for _ in range(TRAIN_REPEATS):
@@ -105,17 +131,28 @@ def main():
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     train_rate = frames * TRAIN_REPEATS / dt
+    iter_s = dt / TRAIN_REPEATS
+
+    rollout_s = frames / rollout_rate          # rollout share of one iter
+    update_s = max(iter_s - rollout_s, 0.0)    # update (incl. GAE) share
+    mfu = (train_rate * _flops_per_frame()) / V5E_FP32_PEAK if backend == "tpu" else None
 
     print(json.dumps({
         "metric": (
             f"end-to-end train env-steps/s (Walker3DStepper, {n_envs} envs, "
-            f"rollout+GAE+10-epoch PPO, {backend})"
+            f"rollout+GAE+10-epoch PPO, pallas, {backend})"
         ),
         "value": round(train_rate, 1),
         "unit": "env-steps/s",
-        "vs_baseline": round(train_rate / REFERENCE_FPS_ESTIMATE, 3),
+        "vs_baseline": round(train_rate / BASELINE_FPS, 3),
+        "baseline_fps": BASELINE_FPS,
         "rollout_only_steps_per_s": round(rollout_rate, 1),
-        "update_seconds_per_iteration": round(dt / TRAIN_REPEATS, 4),
+        "seconds_per_iteration": round(iter_s, 4),
+        "phase_breakdown_s": {
+            "rollout": round(rollout_s, 4),
+            "update_incl_gae": round(update_s, 4),
+        },
+        "update_mfu_fp32_est": round(mfu, 3) if mfu is not None else None,
     }))
 
 
