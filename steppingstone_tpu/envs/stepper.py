@@ -388,15 +388,21 @@ class StepperEnv:
         )
         qj, qdj = state.phys.q[7:], state.phys.qd[6:]
         if cfg.actuation == "pd":
-            tau = engine.pd_actuation(model, action, qj, qdj)
+            # stable PD: target held over the control step, torque
+            # re-evaluated each 240 Hz substep with implicit kp/kd
+            target = engine.pd_target_from_action(model, action)
+            phys, info = engine.step(
+                model, state.phys, jnp.zeros_like(qj), state.terrain,
+                state.stone_radius, jnp.asarray(False), cfg.contact,
+                pd_target=target, pd_power=state.robot_power,
+            )
         else:
             tau = engine.torque_actuation(model, action, qj, qdj)
-        tau = tau * state.robot_power  # set_robot_params power scaling
-
-        phys, info = engine.step(
-            model, state.phys, tau, state.terrain, state.stone_radius,
-            jnp.asarray(False), cfg.contact,
-        )
+            tau = tau * state.robot_power  # set_robot_params power scaling
+            phys, info = engine.step(
+                model, state.phys, tau, state.terrain, state.stone_radius,
+                jnp.asarray(False), cfg.contact,
+            )
         foot_xyz = _foot_xyz(model, phys.q)
 
         # ---- step-hit detection & terrain resampling -----------------

@@ -11,6 +11,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from steppingstone_tpu.core import quaternion as qt
 from steppingstone_tpu.physics import contact as ct
@@ -65,9 +66,24 @@ def torque_actuation(model: RobotModel, action, qj, qdj):
     return tau.at[idx].set(jnp.clip(action, -1.0, 1.0) * lim)
 
 
+def pd_target_from_action(model: RobotModel, action):
+    """Map policy action in [-1, 1] to PD target angles, (NJ,) full joint
+    vector (non-actuated entries unused — their kp is 0 in stable-PD)."""
+    idx = model.actuated_idx
+    lo = jnp.asarray(model.joint_lower[idx], dtype=action.dtype)
+    hi = jnp.asarray(model.joint_upper[idx], dtype=action.dtype)
+    mid, half = 0.5 * (lo + hi), 0.5 * (hi - lo)
+    target = mid + jnp.clip(action, -1.0, 1.0) * half
+    return jnp.zeros(model.njoints, dtype=action.dtype).at[idx].set(target)
+
+
 def pd_actuation(model: RobotModel, action, qj, qdj):
     """Cassie-style PD control: action in [-1, 1] maps to a target angle in
-    the joint range; tau = kp (target - q) - kd qd, clamped to limits."""
+    the joint range; tau = kp (target - q) - kd qd, clamped to limits.
+
+    NOTE: evaluating this once per control step and holding the torque over
+    the substeps is unstable on light links; the stepper now uses
+    `engine.step(..., pd_target=...)` (stable PD inside each substep)."""
     idx = model.actuated_idx
     lo = jnp.asarray(model.joint_lower[idx], dtype=action.dtype)
     hi = jnp.asarray(model.joint_upper[idx], dtype=action.dtype)
@@ -81,7 +97,8 @@ def pd_actuation(model: RobotModel, action, qj, qdj):
     return tau.at[idx].set(tau_a)
 
 
-def _substep(model, state, tau_j, stones, stone_radius, use_ground, cparams):
+def _substep(model, state, tau_j, stones, stone_radius, use_ground, cparams,
+             pd=None):
     q, qd = state.q, state.qd
     dtype = q.dtype
     kin = kin_mod.forward_kinematics(model, q)
@@ -98,14 +115,28 @@ def _substep(model, state, tau_j, stones, stone_radius, use_ground, cparams):
 
     qj, qdj = q[7:], qd[6:]
     tau_lim, at_limit = joint_limit_torque(model, qj, qdj)
+    pd_kp = pd_kd = 0.0
+    if pd is not None:
+        # STABLE PD (computed per substep, treated implicitly): explicit
+        # torque from the CURRENT substep state plus kp/kd on the LHS
+        # diagonals. Evaluating PD once per control step and holding it
+        # over 4 substeps rang light links (Cassie toes/springs) at
+        # ~90 rad/s and made the robot unlearnable.
+        target, power = pd
+        kp_j = jnp.asarray(np.where(model.actuated, model.kp, 0.0), dtype=dtype)
+        kd_j = jnp.asarray(np.where(model.actuated, model.kd, 0.0), dtype=dtype)
+        lim_j = jnp.asarray(np.where(model.actuated, model.torque_limit, 0.0), dtype=dtype)
+        tau_pd = jnp.clip(kp_j * (target - qj) - kd_j * qdj, -lim_j, lim_j)
+        tau_j = tau_j + power * tau_pd
+        pd_kp, pd_kd = power * kp_j, power * kd_j
     tau_full = jnp.concatenate(
         [jnp.zeros(6, dtype=dtype), tau_j + passive_torque(model, qj, qdj) + tau_lim]
     )
     # implicit treatment of the stiff per-joint spring-dampers (see
     # dynamics.forward_dynamics): joint damping + limit dampers on the D
     # diagonal, passive springs + active limit springs on the K diagonal
-    damp_j = jnp.asarray(model.joint_damping, dtype=dtype) + LIMIT_C * at_limit
-    stiff_j = jnp.asarray(model.joint_stiffness, dtype=dtype) + LIMIT_K * at_limit
+    damp_j = jnp.asarray(model.joint_damping, dtype=dtype) + LIMIT_C * at_limit + pd_kd
+    stiff_j = jnp.asarray(model.joint_stiffness, dtype=dtype) + LIMIT_K * at_limit + pd_kp
     zeros6 = jnp.zeros(6, dtype=dtype)
     qdd = dyn.forward_dynamics(
         model, kin, vel, tau_full, f_ext,
@@ -156,6 +187,7 @@ def _step_scan(
     use_ground,
     cparams: ct.ContactParams = ct.ContactParams(),
     substeps: int = SUBSTEPS,
+    pd=None,
 ):
     """One 60 Hz control step = `substeps` x 240 Hz dynamics substeps.
 
@@ -165,7 +197,7 @@ def _step_scan(
 
     def body(carry, _):
         st, acc = carry
-        st2, info = _substep(model, st, tau_j, stones, stone_radius, use_ground, cparams)
+        st2, info = _substep(model, st, tau_j, stones, stone_radius, use_ground, cparams, pd)
         acc2 = StepInfo(
             foot_contact=acc.foot_contact | info.foot_contact,
             foot_stone=jnp.where(info.foot_stone >= 0, info.foot_stone, acc.foot_stone),
@@ -201,6 +233,25 @@ PALLAS_ENABLED = True
 
 
 from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _step_core_pd(model: RobotModel, cparams: ct.ContactParams, substeps: int,
+                  n_stones: int):
+    """Stable-PD variant of the control step (Cassie family). No Pallas
+    fast path yet — the fused kernel computes torques outside the substep
+    loop; PD must re-evaluate per substep, so this always takes the jnp
+    scan (vmap'd)."""
+    from jax.custom_batching import custom_vmap
+
+    def plain(q, qd, tau_j, target, power, stones, stone_radius, use_ground):
+        st, info = _step_scan(
+            model, PhysicsState(q, qd), tau_j, stones, stone_radius,
+            use_ground, cparams, substeps, pd=(target, power),
+        )
+        return st.q, st.qd, info
+
+    return plain
 
 
 @lru_cache(maxsize=None)
@@ -272,10 +323,24 @@ def step(
     use_ground,
     cparams: ct.ContactParams = ct.ContactParams(),
     substeps: int = SUBSTEPS,
+    pd_target=None,
+    pd_power=None,
 ):
     """One 60 Hz control step (see `_step_scan`). Under `vmap` over envs on
     TPU this dispatches to the fused Pallas kernel (physics/pallas_step.py);
-    otherwise it runs the jnp substep scan."""
+    otherwise it runs the jnp substep scan.
+
+    pd_target (NJ,): stable-PD mode — per-substep PD torque toward the
+    target with kp/kd treated implicitly (no Pallas fast path yet)."""
+    if pd_target is not None:
+        core = _step_core_pd(model, cparams, substeps, int(stones.shape[-2]))
+        power = jnp.asarray(1.0 if pd_power is None else pd_power)
+        qn, qdn, info = core(
+            state.q, state.qd, jnp.asarray(tau_j), jnp.asarray(pd_target),
+            power, jnp.asarray(stones), jnp.asarray(stone_radius),
+            jnp.asarray(use_ground),
+        )
+        return PhysicsState(qn, qdn), info
     core = _step_core(model, cparams, substeps, int(stones.shape[-2]))
     qn, qdn, info = core(
         state.q, state.qd, jnp.asarray(tau_j), jnp.asarray(stones),

@@ -53,27 +53,33 @@ def _leg(side: str, sign: float):
              joint_name=f"{side}_hip_pitch", axis=(0, 1, 0),
              mass=5.5, com=(0.06, 0, -0.12), inertia=(0.03, 0.03, 0.02),
              limits=(-0.87, 1.4), torque_limit=195.0, damping=1.0,
-             kp=88.0, kd=8.0, init_angle=0.5),
+             kp=88.0, kd=8.0, init_angle=0.8),
         dict(name=f"{side}_shin", parent=f"{side}_thigh", anchor=(0.06, 0, -0.25),
              joint_name=f"{side}_knee", axis=(0, 1, 0),
              mass=0.9, com=(0.1, 0, -0.15), inertia=(0.01, 0.01, 0.005),
              limits=(-2.86, -0.64), torque_limit=195.0, damping=1.0,
-             kp=96.0, kd=9.6, init_angle=-1.2),
+             kp=96.0, kd=9.6, init_angle=-0.9),
+        # spring joints: damping sized near critical for the EFFECTIVE
+        # inertia of the downstream subtree (~0.14 kg m^2 at this lever),
+        # c_crit = 2 sqrt(k I_eff) ~ 29. The previous 4.0 (~14% critical)
+        # rang at sqrt(k/I_eff) ~ 100 rad/s and shook the robot off its
+        # feet within ~10 control steps — episodes never exceeded ~25
+        # steps and training plateaued at mean reward ~30.
         dict(name=f"{side}_knee_spring", parent=f"{side}_shin", anchor=(0.08, 0, -0.15),
              joint_name=f"{side}_shin_spring", axis=(0, 1, 0),
              mass=0.6, com=(0.1, 0, -0.1), inertia=(0.005, 0.005, 0.002),
-             limits=(-0.3, 0.3), actuated=False, damping=4.0,
+             limits=(-0.3, 0.3), actuated=False, damping=25.0,
              stiffness=1500.0, spring_ref=0.0),
         dict(name=f"{side}_tarsus", parent=f"{side}_knee_spring", anchor=(0.1, 0, -0.12),
              joint_name=f"{side}_tarsus", axis=(0, 1, 0),
              mass=0.8, com=(0.08, 0, -0.12), inertia=(0.008, 0.008, 0.003),
-             limits=(0.5, 1.6), actuated=False, damping=4.0,
-             stiffness=1200.0, spring_ref=1.0, init_angle=1.0),
+             limits=(0.5, 1.6), actuated=False, damping=25.0,
+             stiffness=1200.0, spring_ref=0.85, init_angle=0.85),
         dict(name=f"{side}_toe", parent=f"{side}_tarsus", anchor=(0.11, 0, -0.28),
              joint_name=f"{side}_toe", axis=(0, 1, 0),
              mass=0.15, com=(0.04, 0, -0.01), inertia=(0.0005, 0.0008, 0.0008),
              limits=(-2.4, -0.6), torque_limit=45.0, damping=0.5,
-             kp=50.0, kd=5.0, init_angle=-1.5),
+             kp=50.0, kd=5.0, init_angle=-0.75),
     ]
 
 

@@ -212,28 +212,130 @@ os.environ["STEPPINGSTONE_NO_COMPILE_CACHE"] = "1"
 from steppingstone_tpu.runtime.train import main
 main([
     "env_name=Walker3DStepperEnv-v0", "num_processes=8",
-    "episode_steps=128", "mini_batch_size=64", "num_frames=256",
+    "episode_steps=128", "mini_batch_size=64", "num_frames=" + sys.argv[2],
     "num_tests=0", "use_curriculum=True", "seed=3",
-    "experiment_dir=" + sys.argv[1],
-])
+    "checkpoint_interval=1", "experiment_dir=" + sys.argv[1],
+] + sys.argv[3:])
 """
     env_base = {
         k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)
     }
-    procs = []
-    for rank in range(2):
-        env = dict(
-            env_base,
-            JAX_COORDINATOR_ADDRESS="localhost:12357",
-            JAX_NUM_PROCESSES="2",
-            JAX_PROCESS_ID=str(rank),
-        )
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", script, str(tmp_path / "dist")],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ))
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-3000:]
+
+    def launch(frames, extra=()):
+        procs = []
+        for rank in range(2):
+            env = dict(
+                env_base,
+                JAX_COORDINATOR_ADDRESS="localhost:12357",
+                JAX_NUM_PROCESSES="2",
+                JAX_PROCESS_ID=str(rank),
+            )
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", script, str(tmp_path / "dist"),
+                 str(frames), *extra],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ))
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+        return outs
+
+    launch(256)
     assert os.path.exists(tmp_path / "dist" / "progress.csv")
+    assert os.path.isdir(tmp_path / "dist" / "checkpoints" / "latest")
+    # a resumed 2-process run continues the checkpointed one
+    outs = launch(512, ("resume=True",))
+    assert any("resumed from update 2" in o for o in outs), outs[0][-2000:]
+
+
+def test_logstd_floor():
+    """Exploration floor (late-training collapse guard): logstd consumed by
+    the policy/losses is clamped at LOGSTD_MIN even if the raw param sinks
+    below it."""
+    from steppingstone_tpu.agents.networks import (
+        LOGSTD_MIN, ActorCritic, clamped_logstd,
+    )
+    from steppingstone_tpu.agents.rollout import policy_action
+
+    net = ActorCritic(action_dim=4)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 6)))
+    params["params"]["logstd"] = jnp.full((4,), -10.0)
+    assert np.allclose(clamped_logstd(params), LOGSTD_MIN)
+    # stochastic actions spread at exp(LOGSTD_MIN), not exp(-10)
+    obs = jnp.zeros((512, 6))
+    a, _ = policy_action(net.apply, params, obs, jax.random.PRNGKey(1), False)
+    mean = net.apply(params, obs, method="action_mean")
+    spread = np.asarray(a - mean).std()
+    assert 0.7 * np.exp(LOGSTD_MIN) < spread < 1.3 * np.exp(LOGSTD_MIN)
+
+
+def test_logger_blanks_stale_test_columns(tmp_path):
+    """Between test intervals the test_* columns are blank, not repeats."""
+    lg = ConsoleCSVLogger(str(tmp_path), console_log_interval=1000)
+    base = {"iter": 1, "total_num_steps": 1, "fps": 1, "entropy": 0.0,
+            "value_loss": 0.0, "action_loss": 0.0,
+            "stats": {"rew": np.array([1.0, 2.0])}}
+    lg.log_epoch({**base, "test_stats": {"rew": np.array([3.0])}})
+    lg.log_epoch({**base, "iter": 2, "test_stats": {"rew": None}})
+    lg.close()
+    rows = open(tmp_path / "progress.csv").read().strip().splitlines()
+    header = rows[0].split(",")
+    r2 = dict(zip(header, rows[2].split(",")))
+    assert r2["test_mean_rew"] == "" and r2["test_max_rew"] == ""
+    r1 = dict(zip(header, rows[1].split(",")))
+    assert float(r1["test_mean_rew"]) == 3.0
+
+
+def test_logger_truncates_unless_resuming(tmp_path):
+    """A fresh (non-resume) run pointed at an existing dir must not append
+    under the stale header."""
+    base = {"iter": 1, "total_num_steps": 1, "fps": 1, "entropy": 0.0,
+            "value_loss": 0.0, "action_loss": 0.0,
+            "stats": {"rew": np.array([1.0])},
+            "test_stats": {"rew": np.array([1.0])}}
+    lg = ConsoleCSVLogger(str(tmp_path), console_log_interval=1000)
+    lg.log_epoch(dict(base))
+    lg.log_epoch({**base, "iter": 2})
+    lg.close()
+    # fresh run: truncates
+    lg = ConsoleCSVLogger(str(tmp_path), console_log_interval=1000)
+    lg.log_epoch(dict(base))
+    lg.close()
+    rows = open(tmp_path / "progress.csv").read().strip().splitlines()
+    assert len(rows) == 2  # header + 1 row
+    # resumed run: appends
+    lg = ConsoleCSVLogger(str(tmp_path), console_log_interval=1000, resume=True)
+    lg.log_epoch({**base, "iter": 2})
+    lg.close()
+    rows = open(tmp_path / "progress.csv").read().strip().splitlines()
+    assert len(rows) == 3
+
+
+def test_resume_from_legacy_params_only_snapshot(tmp_path):
+    """A 'latest' checkpoint in the old params-only layout must degrade to
+    a params/opt/counters resume instead of failing (snapshot layouts have
+    grown across rounds)."""
+    from steppingstone_tpu.runtime.checkpoint import CheckpointManager, host_pytree
+    from steppingstone_tpu.runtime.train import Trainer
+
+    args = [
+        "env_name=Walker3DStepperEnv-v0", "num_processes=8",
+        "episode_steps=128", "mini_batch_size=64", "num_frames=256",
+        "num_tests=0", "seed=5",
+    ]
+    cfg = parse_cli(args + [f"experiment_dir={tmp_path}/run"])
+    tr = Trainer(cfg)
+    params = tr.init_params(jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "run" / "checkpoints"))
+    mgr.save("latest", host_pytree({
+        "params": params, "opt_state": tr.tx.init(params),
+        "update": 1, "frames": 128, "max_ep_reward": 3.5,
+    }))
+    cfg2 = parse_cli(
+        [a for a in args if not a.startswith("num_frames")]
+        + ["num_frames=768", "resume=True", f"experiment_dir={tmp_path}/run"]
+    )
+    Trainer(cfg2).train()  # must not raise
+    csv = open(tmp_path / "run" / "progress.csv").read().strip().splitlines()
+    assert len(csv) >= 2  # header + >=1 row logged after the resume
