@@ -104,6 +104,26 @@ class StepperConfig:
     clock_period: int = 0       # control steps per gait cycle (0 = no clock obs)
     contact: ContactParams = ContactParams()
     reset_noise: float = 0.05
+    # "running start" (mocca set_base_pose(pose="running_start"),
+    # SURVEY §2.9): spawn mid-stride with forward momentum. Without it the
+    # policy converges to a stand-still local optimum — the tall bonus
+    # (+2/step forever, V ~ 2/(1-gamma) = 200) strictly dominates a risky
+    # first step (+50 once, then a likely fall), and a 2e8-frame run
+    # verified the learned policy never leaves its spawn point. Starting
+    # at walking speed makes standing unreachable from reset, so stepping
+    # experience (and its higher long-run reward) is guaranteed.
+    init_forward_speed: float = 1.2
+    # Support-size curriculum: the reference's walker stepper uses
+    # plank-type support objects (mocca `plank_class` Plank/LargePlank),
+    # so its level-0 terrain is close to a contiguous walkway; our stones
+    # are discs, and 0.25 m discs over void with 0.15-0.4 m gaps are
+    # nearly unlearnable from scratch (a probe policy braked to a stand
+    # after 2 stones). The effective contact radius starts
+    # `stone_radius + radius_extra` at level 0 (0.6 m discs overlap into
+    # a walkway at 0.65-0.75 m spacing) and shrinks linearly to
+    # `stone_radius` at level 5 — the same easy-to-precise progression,
+    # expressed in the disc abstraction.
+    radius_extra: float = 0.35
 
     @property
     def action_dim(self) -> int:
@@ -340,6 +360,7 @@ class StepperEnv:
         q = q.at[2].set(self.standing_height + 0.015)
         qd = base.qd.at[6:].set(0.1 * noise[nj:2 * nj])
         qd = qd.at[3:5].add(0.1 * noise[2 * nj:2 * nj + 2])
+        qd = qd.at[3].add(cfg.init_forward_speed)
 
         phys = PhysicsState(q=q, qd=qd)
         state = EnvState(
@@ -387,20 +408,24 @@ class StepperEnv:
             _mirror_active(cfg, state), self._mirror_act(action), action
         )
         qj, qdj = state.phys.q[7:], state.phys.qd[6:]
+        # support-size curriculum (see StepperConfig.radius_extra)
+        r_eff = state.stone_radius + cfg.radius_extra * (
+            1.0 - terr.level_scale(state.cur.level)
+        )
         if cfg.actuation == "pd":
             # stable PD: target held over the control step, torque
             # re-evaluated each 240 Hz substep with implicit kp/kd
             target = engine.pd_target_from_action(model, action)
             phys, info = engine.step(
                 model, state.phys, jnp.zeros_like(qj), state.terrain,
-                state.stone_radius, jnp.asarray(False), cfg.contact,
+                r_eff, jnp.asarray(False), cfg.contact,
                 pd_target=target, pd_power=state.robot_power,
             )
         else:
             tau = engine.torque_actuation(model, action, qj, qdj)
             tau = tau * state.robot_power  # set_robot_params power scaling
             phys, info = engine.step(
-                model, state.phys, tau, state.terrain, state.stone_radius,
+                model, state.phys, tau, state.terrain, r_eff,
                 jnp.asarray(False), cfg.contact,
             )
         foot_xyz = _foot_xyz(model, phys.q)
@@ -709,4 +734,5 @@ def cassie_stepper() -> StepperEnv:
         obs_dim=51,
         termination_height=0.5,
         clock_period=30,
+        init_forward_speed=0.8,
     ))
