@@ -238,10 +238,9 @@ from functools import lru_cache
 @lru_cache(maxsize=None)
 def _step_core_pd(model: RobotModel, cparams: ct.ContactParams, substeps: int,
                   n_stones: int):
-    """Stable-PD variant of the control step (Cassie family). No Pallas
-    fast path yet — the fused kernel computes torques outside the substep
-    loop; PD must re-evaluate per substep, so this always takes the jnp
-    scan (vmap'd)."""
+    """Stable-PD variant of the control step (Cassie family): same
+    jnp/Pallas dispatch as `_step_core`; the kernel re-evaluates the PD
+    torque every substep in VMEM (pallas_step.py `pd=True`)."""
     from jax.custom_batching import custom_vmap
 
     def plain(q, qd, tau_j, target, power, stones, stone_radius, use_ground):
@@ -251,7 +250,56 @@ def _step_core_pd(model: RobotModel, cparams: ct.ContactParams, substeps: int,
         )
         return st.q, st.qd, info
 
-    return plain
+    @custom_vmap
+    def core(q, qd, tau_j, target, power, stones, stone_radius, use_ground):
+        return plain(q, qd, tau_j, target, power, stones, stone_radius, use_ground)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, q, qd, tau_j, target, power, stones,
+              stone_radius, use_ground):
+        from steppingstone_tpu.physics import pallas_step
+        from steppingstone_tpu.physics.dynamics import GRAVITY
+
+        qb, qdb, taub, tgb, pwb, stb, srb, ugb = in_batched
+        use_pallas = (
+            PALLAS_ENABLED
+            and jax.default_backend() == "tpu"
+            and axis_size % pallas_step.TILE == 0
+            and model.joint_rot is None
+            and qb and qdb and taub and tgb and stb
+        )
+        if use_pallas:
+            pw = power if pwb else jnp.broadcast_to(power, (axis_size,))
+            sr = stone_radius if srb else jnp.broadcast_to(stone_radius, (axis_size,))
+            ug = use_ground if ugb else jnp.broadcast_to(use_ground, (axis_size,))
+            fn = pallas_step.build_batched_step(
+                model, cparams, substeps, n_stones,
+                SIM_DT, LIMIT_K, LIMIT_C, MAX_QD, GRAVITY, pd=True,
+            )
+            qn, qdn, d = fn(q, qd, tau_j, target, pw, stones, sr, ug)
+            out = (
+                qn,
+                qdn,
+                StepInfo(
+                    foot_contact=d["foot_contact"],
+                    foot_stone=d["foot_stone"],
+                    foot_normal_force=d["foot_normal_force"],
+                    joint_at_limit=d["joint_at_limit"],
+                    contact_force_sum=d["contact_force_sum"],
+                ),
+            )
+        else:
+            out = jax.vmap(
+                plain,
+                in_axes=(
+                    0 if qb else None, 0 if qdb else None, 0 if taub else None,
+                    0 if tgb else None, 0 if pwb else None, 0 if stb else None,
+                    0 if srb else None, 0 if ugb else None,
+                ),
+            )(q, qd, tau_j, target, power, stones, stone_radius, use_ground)
+        return out, jax.tree.map(lambda _: True, out)
+
+    return core
 
 
 @lru_cache(maxsize=None)

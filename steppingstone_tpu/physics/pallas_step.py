@@ -267,10 +267,15 @@ def build_batched_step(
     max_qd: float,
     gravity: float,
     interpret: bool = False,
+    pd: bool = False,
 ):
     """Returns `f(q, qd, tau_j, stones, stone_radius, use_ground)` over a
     leading batch axis B (multiple of 1024) implementing
-    `engine.step` x B as one pallas_call."""
+    `engine.step` x B as one pallas_call.
+
+    pd=True: stable-PD mode (engine._substep pd branch) — signature gains
+    (target, power) after tau_j; PD torque is re-evaluated every substep
+    from the in-VMEM state with kp/kd folded into the implicit diagonals."""
     if model.joint_rot is not None:
         raise NotImplementedError("pallas path assumes joint_rot is None")
 
@@ -287,6 +292,12 @@ def build_batched_step(
     j_damp = [float(x) for x in model.joint_damping]
     j_stiff = [float(x) for x in model.joint_stiffness]
     j_ref = [float(x) for x in model.joint_spring_ref]
+    kp_l = [float(x) if a else 0.0 for x, a in zip(model.kp, model.actuated)]
+    kd_l = [float(x) if a else 0.0 for x, a in zip(model.kd, model.actuated)]
+    tlim_l = [
+        float(x) if a else 0.0
+        for x, a in zip(model.torque_limit, model.actuated)
+    ]
     cbody = [int(b) for b in model.contact_body]
     coff = [tuple(float(a) for a in row) for row in model.contact_offset]
     crad = [float(r) for r in model.contact_radius]
@@ -306,10 +317,11 @@ def build_batched_step(
         lst = list(range(6)) + [5 + b for b in ancestors[i] if b > 0] + [5 + i]
         dof_anc.append(sorted(lst))
 
-    def substep(q, qd, tau_in, st_c, st_n, sr, ug):
+    def substep(q, qd, tau_in, st_c, st_n, sr, ug, pd_args=None):
         """q: list nq, qd: list nd, tau_in: list NJ of symbolic scalars.
         st_c: list of S centers (vec3), st_n: list of S normals (vec3),
-        sr: stone radius block, ug: use_ground block (0/1)."""
+        sr: stone radius block, ug: use_ground block (0/1).
+        pd_args: None | (target list NJ, power block) — stable PD."""
         root = (q[0], q[1], q[2])
         quat0 = (q[3], q[4], q[5], q[6])
         qj = q[7:]
@@ -424,10 +436,25 @@ def build_batched_step(
             outf = swhere(out, 1.0, 0.0)
             tau_lim = ssub(smul(-limit_k, sadd(below, above)), smul(limit_c, smul(qdj[j], outf)))
             passive = ssub(smul(-j_damp[j], qdj[j]), smul(j_stiff[j], ssub(qj[j], j_ref[j])))
-            tau.append(sadd(sadd(tau_in[j], passive), tau_lim))
+            tau_act = tau_in[j]
+            damp_j = sadd(j_damp[j], smul(limit_c, outf))
+            stiff_j = sadd(j_stiff[j], smul(limit_k, outf))
+            if pd_args is not None and kp_l[j] > 0.0:
+                # stable PD (engine._substep pd branch): explicit torque
+                # from the current substep state, kp/kd implicit
+                target, power = pd_args
+                tau_pd = jnp.clip(
+                    _blk(ssub(smul(kp_l[j], ssub(target[j], qj[j])),
+                              smul(kd_l[j], qdj[j]))),
+                    -tlim_l[j], tlim_l[j],
+                )
+                tau_act = sadd(tau_act, smul(power, tau_pd))
+                damp_j = sadd(damp_j, smul(power, kd_l[j]))
+                stiff_j = sadd(stiff_j, smul(power, kp_l[j]))
+            tau.append(sadd(sadd(tau_act, passive), tau_lim))
             at_limit.append(outf)
-            damp_eff.append(sadd(j_damp[j], smul(limit_c, outf)))
-            stiff_eff.append(sadd(j_stiff[j], smul(limit_k, outf)))
+            damp_eff.append(damp_j)
+            stiff_eff.append(stiff_j)
 
         # ---- CRBA composite inertias (dynamics.py:58-76) ---------------
         Ic = [spatial_inertia(mass[i], sub3(com_w[i], root), iw[i]) for i in range(NB)]
@@ -556,7 +583,15 @@ def build_batched_step(
         )
         return [_blk(x) for x in q_new], [_blk(x) for x in qd_out], info
 
-    def kernel(q_ref, qd_ref, tau_ref, st_ref, sr_ref, ug_ref, qo_ref, qdo_ref, io_ref):
+    def kernel(*refs):
+        if pd:
+            (q_ref, qd_ref, tau_ref, targ_ref, pw_ref, st_ref, sr_ref,
+             ug_ref, qo_ref, qdo_ref, io_ref) = refs
+            pd_args = ([targ_ref[0, k] for k in range(NJ)], pw_ref[0, 0])
+        else:
+            (q_ref, qd_ref, tau_ref, st_ref, sr_ref, ug_ref, qo_ref,
+             qdo_ref, io_ref) = refs
+            pd_args = None
         q0 = [q_ref[0, k] for k in range(nq)]
         qd0 = [qd_ref[0, k] for k in range(nd)]
         tau_in = [tau_ref[0, k] for k in range(NJ)]
@@ -577,7 +612,9 @@ def build_batched_step(
 
         def body(_, carry):
             q, qd, fc, fs, ff, atl, fsum = carry
-            qn, qdn, info = substep(list(q), list(qd), tau_in, st_c, st_n, sr, ug)
+            qn, qdn, info = substep(
+                list(q), list(qd), tau_in, st_c, st_n, sr, ug, pd_args
+            )
             fc2 = tuple(jnp.maximum(fc[i], info["foot_force"][i]) for i in range(2))
             fs2 = tuple(
                 jnp.where(info["foot_stone"][i] >= 0.0, info["foot_stone"][i], fs[i])
@@ -606,6 +643,11 @@ def build_batched_step(
             io_ref[0, 6 + j] = atl[j]
         io_ref[0, 6 + NJ] = fsum
 
+    def spec_k(k):
+        return pl.BlockSpec(
+            (1, k, TS, TL), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+
     def pack(x, k):
         # (B, k) -> (G, k, 8, 128), env e = g*1024 + s*128 + l
         B = x.shape[0]
@@ -615,29 +657,38 @@ def build_batched_step(
         # (G, k, 8, 128) -> (B, k)
         return x.transpose(1, 0, 2, 3).reshape(k, -1).T
 
-    def batched(q, qd, tau_j, stones, stone_radius, use_ground):
+    def batched(q, qd, tau_j, *rest):
+        if pd:
+            target, power, stones, stone_radius, use_ground = rest
+        else:
+            stones, stone_radius, use_ground = rest
         B = q.shape[0]
         assert B % TILE == 0, B
         G = B // TILE
         f32 = jnp.float32
-        args = (
+        args = [
             pack(q.astype(f32), nq),
             pack(qd.astype(f32), nd),
             pack(tau_j.astype(f32), NJ),
+        ]
+        specs = [spec_k(nq), spec_k(nd), spec_k(NJ)]
+        if pd:
+            args += [
+                pack(target.astype(f32), NJ),
+                pack(jnp.broadcast_to(power, (B,)).astype(f32)[:, None], 1),
+            ]
+            specs += [spec_k(NJ), spec_k(1)]
+        args += [
             pack(stones.reshape(B, n_stones * 6).astype(f32), n_stones * 6),
             pack(jnp.broadcast_to(stone_radius, (B,)).astype(f32)[:, None], 1),
             pack(jnp.broadcast_to(use_ground, (B,)).astype(f32)[:, None], 1),
-        )
-        spec = lambda k: pl.BlockSpec(
-            (1, k, TS, TL), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
-        )
+        ]
+        specs += [spec_k(n_stones * 6), spec_k(1), spec_k(1)]
         qo, qdo, io = pl.pallas_call(
             kernel,
             grid=(G,),
-            in_specs=[
-                spec(nq), spec(nd), spec(NJ), spec(n_stones * 6), spec(1), spec(1)
-            ],
-            out_specs=[spec(nq), spec(nd), spec(N_INFO)],
+            in_specs=specs,
+            out_specs=[spec_k(nq), spec_k(nd), spec_k(N_INFO)],
             out_shape=[
                 jax.ShapeDtypeStruct((G, nq, TS, TL), f32),
                 jax.ShapeDtypeStruct((G, nd, TS, TL), f32),

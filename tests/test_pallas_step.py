@@ -95,10 +95,63 @@ def _check_parity(model, substeps):
     assert al_match > 0.999, al_match
 
 
+def _check_parity_pd(model, substeps):
+    """Stable-PD kernel variant vs the jnp pd scan."""
+    cparams = ct.ContactParams()
+    q, qd, tau, stones, sr, ug = _random_inputs(jax.random.PRNGKey(0), model)
+    key = jax.random.PRNGKey(5)
+    lo = jnp.asarray(model.joint_lower)
+    hi = jnp.asarray(model.joint_upper)
+    target = jax.random.uniform(
+        key, (B, model.njoints), minval=lo + 0.05, maxval=hi - 0.05
+    )
+    power = jnp.full((B,), 1.0)
+    tau = jnp.zeros_like(tau)
+
+    ref_step = jax.vmap(
+        lambda q_, qd_, t_, tg_, pw_, s_, r_, g_: engine._step_scan(
+            model, engine.PhysicsState(q_, qd_), t_, s_, r_, g_, cparams,
+            substeps, pd=(tg_, pw_),
+        )
+    )
+    st_ref, info_ref = ref_step(q, qd, tau, target, power, stones, sr, ug)
+
+    fn = pallas_step.build_batched_step(
+        model, cparams, substeps, N_STONES,
+        engine.SIM_DT, engine.LIMIT_K, engine.LIMIT_C, engine.MAX_QD, GRAVITY,
+        interpret=True, pd=True,
+    )
+    qn, qdn, d = fn(q, qd, tau, target, power, stones, sr, ug)
+    np.testing.assert_allclose(np.asarray(qn), np.asarray(st_ref.q), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qdn), np.asarray(st_ref.qd), rtol=2e-3, atol=2e-2)
+
+
+def pd_small_model():
+    """Pendulum with PD-actuated joint (kp/kd like Cassie's scale)."""
+    bodies = [
+        dict(name="base", mass=5.0, inertia=(0.5, 0.5, 0.5), root_height=1.0),
+        dict(name="arm", parent="base", anchor=(0, 0, 0), axis=(0, 1, 0),
+             mass=1.0, com=(0, 0, -0.5), inertia=(0.05, 0.05, 0.05),
+             damping=0.1, limits=(-2.0, 2.0), kp=60.0, kd=6.0,
+             torque_limit=45.0),
+    ]
+    contacts = [
+        dict(body="arm", offset=(0, 0, -0.5), radius=0.05),
+        dict(body="base", offset=(0, 0, -0.1), radius=0.05),
+    ]
+    return build_model("pd_pendulum", bodies, contacts)
+
+
 @pytest.mark.parametrize("substeps", [1, 4])
 def test_pallas_matches_scan_small(substeps):
     """Fast CI guard on the kernel: tiny model, full contact/limit paths."""
     _check_parity(small_model(), substeps)
+
+
+@pytest.mark.parametrize("substeps", [4])
+def test_pallas_pd_matches_scan_small(substeps):
+    """Fast CI guard on the stable-PD kernel variant."""
+    _check_parity_pd(pd_small_model(), substeps)
 
 
 @pytest.mark.slow
@@ -107,3 +160,12 @@ def test_pallas_matches_scan_walker(substeps):
     """Full Walker3D parity (minutes of CPU interpret time; run with
     `pytest -m slow`)."""
     _check_parity(walker3d(), substeps)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("substeps", [4])
+def test_pallas_pd_matches_scan_cassie(substeps):
+    """Full Cassie stable-PD parity (slow lane)."""
+    from steppingstone_tpu.physics.robots.cassie import cassie
+
+    _check_parity_pd(cassie(), substeps)
