@@ -64,7 +64,10 @@ def inertia_matrix(mass, com, inertia_com: jnp.ndarray) -> jnp.ndarray:
     cx = skew(com)
     m = mass[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=com.dtype), cx.shape)
-    top = jnp.concatenate([inertia_com - m * (cx @ cx), m * cx], axis=-1)
+    top = jnp.concatenate(
+        [inertia_com - m * jnp.matmul(cx, cx, precision="highest"), m * cx],
+        axis=-1,
+    )
     bot = jnp.concatenate([-m * cx, m * eye], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
 
@@ -78,7 +81,8 @@ def inertia_mul(mass, com, inertia_com: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
     w, vo = v[..., :3], v[..., 3:]
     vc = vo + jnp.cross(w, com)
     h_lin = mass[..., None] * vc
-    h_ang = jnp.einsum("...ij,...j->...i", inertia_com, w) + jnp.cross(com, h_lin)
+    h_ang = (jnp.einsum("...ij,...j->...i", inertia_com, w, precision="highest")
+             + jnp.cross(com, h_lin))
     return jnp.concatenate([h_ang, h_lin], axis=-1)
 
 

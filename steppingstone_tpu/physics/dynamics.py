@@ -71,8 +71,10 @@ def mass_matrix(model: RobotModel, kin: Kin, phi: jnp.ndarray) -> jnp.ndarray:
 
     # per-dof composite inertia: root dofs use body 0, joint dof of body i uses i
     Ic = jnp.stack([I_comp[0]] * 6 + [I_comp[i] for i in range(1, model.nbodies)])
-    F = jnp.einsum("kab,kb->ka", Ic, phi)          # (ndof, 6)
-    L = (F @ phi.T) * jnp.asarray(_ancestor_mask(model), dtype=dtype)
+    F = jnp.einsum("kab,kb->ka", Ic, phi, precision="highest")          # (ndof, 6)
+    L = jnp.matmul(F, phi.T, precision="highest") * jnp.asarray(
+        _ancestor_mask(model), dtype=dtype
+    )
     return L + L.T - jnp.diagflat(jnp.diagonal(L))
 
 

@@ -62,11 +62,12 @@ def forward_kinematics(model: RobotModel, q: jnp.ndarray) -> Kin:
     quat = jnp.stack(quat)
     axis = jnp.stack(axis)
     R = qt.to_matrix(quat)
-    com = pos + jnp.einsum("bij,bj->bi", R, jnp.asarray(model.com, dtype=q.dtype))
+    com = pos + jnp.einsum("bij,bj->bi", R, jnp.asarray(model.com, dtype=q.dtype),
+                           precision="highest")
     I_body = jnp.zeros((model.nbodies, 3, 3), dtype=q.dtype).at[
         :, jnp.arange(3), jnp.arange(3)
     ].set(jnp.asarray(model.inertia, dtype=q.dtype))
-    inertia_w = jnp.einsum("bij,bjk,blk->bil", R, I_body, R)
+    inertia_w = jnp.einsum("bij,bjk,blk->bil", R, I_body, R, precision="highest")
     return Kin(pos=pos, quat=quat, axis=axis, com=com, R=R, inertia_w=inertia_w)
 
 
@@ -92,7 +93,8 @@ def contact_points(model: RobotModel, kin: Kin) -> jnp.ndarray:
     """World positions of all contact sphere centers: (NC, 3)."""
     b = model.contact_body
     offs = jnp.asarray(model.contact_offset, dtype=kin.pos.dtype)
-    return kin.pos[b] + jnp.einsum("cij,cj->ci", kin.R[b], offs)
+    return kin.pos[b] + jnp.einsum("cij,cj->ci", kin.R[b], offs,
+                                   precision="highest")
 
 
 def contact_point_velocities(
