@@ -2,12 +2,14 @@
 
 Mean episode reward can be farmed by standing still (tall bonus ~2/step;
 see commit d279f44), so capability claims are backed by BEHAVIOR: stones
-crossed, distance traveled, falls — per curriculum level, deterministic
-policy, N envs x T steps.
+crossed, falls, distance traveled, per-episode returns — per curriculum
+level, deterministic policy, N envs x T steps (default 256 x 1000, sized
+for on-chip eval; round-3 verdict task 7).
 
 Usage:
-  JAX_PLATFORMS=cpu python scripts/behavior_eval.py runs/r3_w3d_pallas \
+  python scripts/behavior_eval.py runs/r4_w3d \
       [--env Walker3DStepperEnv-v0] [--levels 0 2 5] [--ensembles 1]
+      [--plank_class LargePlank] [--platform axon|cpu]
 Writes JSON to stdout.
 """
 
@@ -17,30 +19,35 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
     ap.add_argument("--env", default="Walker3DStepperEnv-v0")
-    ap.add_argument("--levels", type=int, nargs="*", default=[0, 2, 5])
+    ap.add_argument("--levels", type=float, nargs="*", default=[0, 2, 5])
     ap.add_argument("--ensembles", type=int, default=1)
-    ap.add_argument("--envs", type=int, default=16)
-    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--envs", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--tag", default="best")
+    ap.add_argument("--plank_class", default=None,
+                    help="evaluate on this support geometry (stepper.PLANK_CLASSES)")
+    ap.add_argument("--platform", default=os.environ.get("JAX_PLATFORMS", "cpu"))
+    ap.add_argument("--out", default=None, help="also write JSON here")
     args = ap.parse_args()
+    os.environ["JAX_PLATFORMS"] = args.platform
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from steppingstone_tpu.agents.networks import ActorCritic
     from steppingstone_tpu.envs import make_env
     from steppingstone_tpu.envs import terrain as terr
     from steppingstone_tpu.runtime.checkpoint import CheckpointManager
 
-    env = make_env(args.env)
+    kw = {"plank_class": args.plank_class} if args.plank_class else {}
+    env = make_env(args.env, **kw)
     net = ActorCritic(action_dim=env.action_dim, num_ensembles=args.ensembles)
     mgr = CheckpointManager(os.path.join(args.run_dir, "checkpoints"))
     snap = mgr.restore(args.tag)
@@ -48,12 +55,13 @@ def main():
 
     N, T = args.envs, args.steps
     report = {"run": args.run_dir, "env": args.env, "tag": args.tag,
-              "envs": N, "steps": T}
+              "envs": N, "steps": T, "support": env.cfg.support,
+              "plank_class": args.plank_class}
     for level in args.levels:
         keys = jax.random.split(jax.random.PRNGKey(7), N)
-        state, obs = jax.vmap(env.reset, in_axes=(0, None))(
-            keys, terr.default_curriculum(level)
-        )
+        state, obs = jax.jit(
+            jax.vmap(env.reset, in_axes=(0, None))
+        )(keys, terr.default_curriculum(level))
 
         @jax.jit
         def run(params, state, obs):
@@ -61,26 +69,44 @@ def main():
                 state, obs = c
                 a = net.apply(params, obs, method="action_mean")
                 state, out = jax.vmap(env.step)(state, a)
-                return (state, out.obs), (out.reward, out.hit, out.done)
+                return (state, out.obs), (
+                    out.reward, out.hit, out.done, out.timeout,
+                    out.ep_return, out.ep_len,
+                )
 
             (state, obs), ys = jax.lax.scan(body, (state, obs), None, length=T)
             return ys, state
 
-        (rew, hit, done), fstate = run(params, state, obs)
-        rew, hit, done = (np.asarray(v) for v in (rew, hit, done))
-        report[f"level_{level}"] = {
-            "reward_per_step": round(float(rew.mean()), 2),
+        (rew, hit, done, tout, ep_ret, ep_len), fstate = run(params, state, obs)
+        rew, hit, done, tout, ep_ret, ep_len = (
+            np.asarray(v) for v in (rew, hit, done, tout, ep_ret, ep_len)
+        )
+        ended = int(done.sum())              # completed episodes
+        falls = int(done.sum() - tout.sum())  # ended by falling, not time
+        # episodes in flight at the horizon count once each for rates
+        n_ep = ended + N
+        d = ep_ret[done]
+        report[f"level_{level:g}"] = {
+            "episodes_completed": ended,
+            "falls": falls,
+            "fall_rate": round(falls / max(n_ep, 1), 3),
             "stone_hits_total": int(hit.sum()),
-            "stone_hits_per_episode_equiv": round(
-                float(hit.sum()) / max(1, int(done.sum()) + N), 1
-            ),
-            "falls": int(done.sum()),
+            "stones_per_episode": round(float(hit.sum()) / max(n_ep, 1), 2),
+            "mean_episode_reward": round(float(d.mean()), 1) if d.size else None,
+            "median_episode_reward": round(float(np.median(d)), 1) if d.size else None,
+            "mean_episode_len": round(float(ep_len[done].mean()), 1) if ended else None,
+            "reward_per_step": round(float(rew.mean()), 2),
             "mean_final_next_step_index": round(
                 float(np.asarray(fstate.next_step_index).mean()), 1
             ),
             "mean_final_x_m": round(float(np.asarray(fstate.phys.q[:, 0]).mean()), 1),
         }
-    print(json.dumps(report, indent=2))
+        print(f"level {level:g} done", file=sys.stderr, flush=True)
+    js = json.dumps(report, indent=2)
+    print(js)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(js + "\n")
 
 
 if __name__ == "__main__":

@@ -50,9 +50,14 @@ def _inputs(key, model):
     return q, qd, tau, stones, sr, ug
 
 
-def check(model, pd, substeps=4):
+def check(model, pd, substeps=4, support_hy=None):
     cparams = ct.ContactParams()
     q, qd, tau, stones, sr, ug = _inputs(jax.random.PRNGKey(0), model)
+    if support_hy is not None:
+        # planks need headings for their in-plane axes
+        stones = stones.at[:, :, 3].set(
+            0.4 * jax.random.normal(jax.random.PRNGKey(9), (B, N_STONES))
+        )
     extra = ()
     if pd:
         lo = jnp.asarray(model.joint_lower)
@@ -69,14 +74,15 @@ def check(model, pd, substeps=4):
         ref = jax.jit(jax.vmap(
             lambda q_, qd_, t_, tg_, pw_, s_, r_, g_: engine._step_scan(
                 model, engine.PhysicsState(q_, qd_), t_, s_, r_, g_, cparams,
-                substeps, pd=(tg_, pw_),
+                substeps, pd=(tg_, pw_), support_hy=support_hy,
             )
         ))
         st_ref, info_ref = ref(q, qd, tau, *extra, stones, sr, ug)
     else:
         ref = jax.jit(jax.vmap(
             lambda q_, qd_, t_, s_, r_, g_: engine._step_scan(
-                model, engine.PhysicsState(q_, qd_), t_, s_, r_, g_, cparams, substeps
+                model, engine.PhysicsState(q_, qd_), t_, s_, r_, g_, cparams,
+                substeps, support_hy=support_hy,
             )
         ))
         st_ref, info_ref = ref(q, qd, tau, stones, sr, ug)
@@ -84,7 +90,7 @@ def check(model, pd, substeps=4):
     fn = pallas_step.build_batched_step(
         model, cparams, substeps, N_STONES,
         engine.SIM_DT, engine.LIMIT_K, engine.LIMIT_C, engine.MAX_QD, GRAVITY,
-        pd=pd,
+        pd=pd, support_hy=support_hy,
     )
     qn, qdn, d = jax.jit(fn)(q, qd, tau, *extra, stones, sr, ug)
 
@@ -93,6 +99,7 @@ def check(model, pd, substeps=4):
     fc = float(np.mean(np.asarray(d["foot_contact"]) == np.asarray(info_ref.foot_contact)))
     out = {
         "model": model.name, "pd": pd, "substeps": substeps,
+        "support": "disc" if support_hy is None else f"plank(hy={support_hy})",
         "max_q_err": round(q_err, 6), "max_qd_err": round(qd_err, 4),
         "foot_contact_agreement": round(fc, 5),
         "pass": bool(q_err < 5e-4 and qd_err < 5e-2 and fc > 0.999),
@@ -101,13 +108,23 @@ def check(model, pd, substeps=4):
     return out
 
 
-def main():
+def main(out_path=None):
     results = [
         check(walker3d(), pd=False),
         check(cassie(), pd=True),
+        check(walker3d(), pd=False, support_hy=1.5),
+        check(cassie(), pd=True, support_hy=1.5),
     ]
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({
+                "backend": jax.default_backend(),
+                "results": results,
+                "pass": all(r["pass"] for r in results),
+            }, f, indent=2)
     assert all(r["pass"] for r in results), results
+    return results
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -1,0 +1,69 @@
+#!/bin/bash
+# Round-4 training campaign (round-3 verdict tasks 1-5):
+#   1. support-geometry A/B (disc curriculum vs reference-calibrated planks)
+#   2. headline full-difficulty runs: Walker3D / Mike / Cassie on planks
+#   3. threshold-sampling (2e8, instrumented), adaptive, specialist runs
+#
+# Hang resilience: the tunneled TPU drops silently every ~1-2 h, so every
+# run executes under `timeout` in a resume loop — total resume restores
+# params+opt+env+curriculum+PRNG from checkpoints/latest (<=10 updates
+# lost). One JAX process at a time (2 host CPUs).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+COMMON="num_processes=1024 episode_steps=409600 mini_batch_size=4096 \
+  num_tests=64 test_interval=10 mesh_devices=1 use_mirror=True \
+  episode_log=True seed=8"
+
+run() {
+  local dir=$1 tmo=$2; shift 2
+  echo "=== $(date +%T) starting $dir: $*"
+  mkdir -p "$dir"
+  local attempt rc
+  for attempt in 1 2 3 4; do
+    timeout "$tmo" python -m steppingstone_tpu.runtime.train \
+      experiment_dir="$dir" $COMMON resume=True "$@" >> "$dir/train.out" 2>&1
+    rc=$?
+    if [ $rc -eq 0 ]; then break; fi
+    echo "=== $(date +%T) $dir attempt $attempt exit $rc; resuming"
+    sleep 5
+  done
+  echo "=== $(date +%T) finished $dir (exit $rc)"
+  grep -E "^curriculum" "$dir/train.out" | tail -2
+  tail -2 "$dir/train.out" | cut -c1-160
+}
+
+stage=${1:-all}
+
+if [ "$stage" = ab ] || [ "$stage" = all ]; then
+  # --- support-geometry A/B (CALIBRATION.md protocol) -----------------
+  run runs/r4_ab_disc 2400 env_name=Walker3DStepperEnv-v0 \
+    use_curriculum=True num_frames=1.5e8
+  run runs/r4_ab_plank 2400 env_name=Walker3DStepperEnv-v0 \
+    plank_class=LargePlank use_curriculum=True num_frames=1.5e8
+fi
+
+if [ "$stage" = headline ] || [ "$stage" = all ]; then
+  # --- headline capability runs on the calibrated geometry ------------
+  run runs/r4_w3d 2800 env_name=Walker3DStepperEnv-v0 \
+    plank_class=LargePlank use_curriculum=True num_frames=3e8
+  run runs/r4_mike 2800 env_name=MikeStepperEnv-v0 \
+    plank_class=LargePlank use_curriculum=True num_frames=3e8
+  run runs/r4_cassie 3200 env_name=CassieStepper-v1 \
+    plank_class=LargePlank use_curriculum=True use_phase_mirror=True \
+    num_ensembles=2 num_frames=3e8
+fi
+
+if [ "$stage" = sampling ] || [ "$stage" = all ]; then
+  # --- curriculum-strategy runs (verdict tasks 4-5) -------------------
+  run runs/r4_w3d_threshold 2800 env_name=Walker3DStepperEnv-v0 \
+    plank_class=LargePlank use_threshold_sampling=True \
+    save_sampling_prob=True plot_prob=True num_frames=2e8
+  run runs/r4_w3d_adaptive 2000 env_name=Walker3DStepperEnv-v0 \
+    plank_class=LargePlank use_adaptive_sampling=True \
+    save_sampling_prob=True plot_prob=True num_frames=1e8
+  run runs/r4_w3d_specialist 2000 env_name=Walker3DStepperEnv-v0 \
+    plank_class=LargePlank use_specialist=True num_frames=1e8
+fi
+
+echo "=== queue done $(date +%T)"

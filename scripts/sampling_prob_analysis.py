@@ -45,6 +45,23 @@ def main():
         "hard_ring_mass_over_rounds": series(edge_mass),
         "concentrated": bool(ent[-1] < 0.9 * np.log(121)),
     }
+
+    # companion normalized-V grids (round-4 instrumentation): the prob
+    # sharpness is bounded by the V spread — softmax(-10 |V - thr|) over a
+    # grid whose normalized values span only d has logit range 10 d
+    grid_path = path.replace("_sampling_prob.pkl", "_value_grid.pkl")
+    try:
+        with open(grid_path, "rb") as f:
+            grids = np.asarray(pickle.load(f))  # (K, 11, 11) normalized V
+        spread = [float(g.max() - g.min()) for g in grids]
+        out["value_grid"] = {
+            "normalized_spread_over_rounds": series(spread),
+            "spread_first_vs_last": [round(spread[0], 3), round(spread[-1], 3)],
+            "last_min_max": [round(float(grids[-1].min()), 3),
+                             round(float(grids[-1].max()), 3)],
+        }
+    except FileNotFoundError:
+        pass
     print(json.dumps(out, indent=2))
 
 

@@ -35,8 +35,37 @@ LOGSTD_MIN = -3.0
 
 
 def clamped_logstd(params):
-    """The policy's logstd param with the exploration floor applied."""
-    return jnp.maximum(params["params"]["logstd"], LOGSTD_MIN)
+    """The policy's logstd param with the exploration floor applied.
+
+    Straight-through clamp: the *value* is floored at LOGSTD_MIN but the
+    gradient passes through unscaled, so a parameter that has been driven
+    below the floor still receives gradient from every consumer and can
+    recover if the objective later favors more exploration (a plain
+    `jnp.maximum` zeroes the gradient below the floor and pins entropy
+    permanently). `ppo_update` additionally projects the raw parameter
+    back to >= LOGSTD_MIN after each optimizer step so it cannot sink
+    arbitrarily far while clamped."""
+    raw = params["params"]["logstd"]
+    return raw + jax.lax.stop_gradient(jnp.maximum(raw, LOGSTD_MIN) - raw)
+
+
+def project_logstd(params):
+    """Clip the raw logstd param to >= LOGSTD_MIN (post-optimizer-step
+    projection; see `clamped_logstd`)."""
+    flat = dict(params["params"])
+    flat["logstd"] = jnp.maximum(flat["logstd"], LOGSTD_MIN)
+    return {**params, "params": flat}
+
+
+def reinflate_logstd(params, value: float):
+    """Raise exploration noise to at least `value` (per-dim max) — used on
+    curriculum level advances. The reference's analog is the warm-start
+    `reset_dist` to -2.5 (`common/controller.py:102-104`); on-advance
+    re-inflation restores exploration that the previous level's
+    convergence consumed, so the harder level is actually explored."""
+    flat = dict(params["params"])
+    flat["logstd"] = jnp.maximum(flat["logstd"], value)
+    return {**params, "params": flat}
 
 
 def torch_linear_init(key, shape, dtype=jnp.float32):

@@ -117,6 +117,9 @@ def _minibatch_step(apply_fn, tx, cfg: PPOConfig, value_only: bool):
         gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+        from steppingstone_tpu.agents.networks import project_logstd
+
+        params = project_logstd(params)
         metrics = PPOMetrics(value_loss, action_loss, entropy, gnorm, clip_frac)
         return (params, opt_state, lr), metrics
 

@@ -24,8 +24,11 @@ _CONSTRUCTORS = {
 ENV_IDS = tuple(_CONSTRUCTORS)
 
 
-def make_env(env_id: str) -> StepperEnv:
+def make_env(env_id: str, **kwargs) -> StepperEnv:
+    """kwargs are env-construction overrides, e.g. `plank_class="Plank"`
+    (the reference's non-robot env kwarg, see stepper.PLANK_CLASSES) or any
+    StepperConfig field."""
     name = env_id.split(":", 1)[-1]
     if name not in _CONSTRUCTORS:
         raise KeyError(f"unknown env id {env_id!r}; known: {ENV_IDS}")
-    return _CONSTRUCTORS[name]()
+    return _CONSTRUCTORS[name](**kwargs)

@@ -113,16 +113,28 @@ class StepperConfig:
     # at walking speed makes standing unreachable from reset, so stepping
     # experience (and its higher long-run reward) is guaranteed.
     init_forward_speed: float = 1.2
-    # Support-size curriculum: the reference's walker stepper uses
-    # plank-type support objects (mocca `plank_class` Plank/LargePlank),
-    # so its level-0 terrain is close to a contiguous walkway; our stones
-    # are discs, and 0.25 m discs over void with 0.15-0.4 m gaps are
-    # nearly unlearnable from scratch (a probe policy braked to a stand
-    # after 2 stones). The effective contact radius starts
-    # `stone_radius + radius_extra` at level 0 (0.6 m discs overlap into
-    # a walkway at 0.65-0.75 m spacing) and shrinks linearly to
-    # `stone_radius` at level 5 — the same easy-to-precise progression,
-    # expressed in the disc abstraction.
+    # ---- support geometry (reference `plank_class`, SURVEY.md §2.9) ----
+    # The reference's stepper envs walk on plank-type support objects
+    # (mocca bullet_objects Pillar/Plank/LargePlank) chosen as a STATIC
+    # env kwarg, not coupled to the difficulty level. Modes here:
+    #   "disc"   — shrinking-disc curriculum (round-2/3 behavior): the
+    #              effective contact radius starts stone_radius +
+    #              radius_extra at level 0 (0.6 m discs overlap into a
+    #              walkway at 0.65-0.75 m spacing) and shrinks linearly
+    #              to stone_radius at level 5. Stacks support difficulty
+    #              on top of the yaw/pitch widening — level 5 is tiny
+    #              discs + full ranges simultaneously, plausibly HARDER
+    #              than the reference's hardest setting (see
+    #              reports/CALIBRATION.md).
+    #   "pillar" — static disc of radius stone_radius at every level
+    #              (mocca Pillar: cylinder, r=0.25).
+    #   "plank"  — static box: half-extent stone_radius along the stone's
+    #              heading (walking direction), plank_hy laterally (mocca
+    #              Plank/LargePlank: boxes elongated laterally, so
+    #              lateral foot placement is forgiving and difficulty
+    #              comes from the yaw/pitch/tilt/spacing ranges alone).
+    support: str = "disc"
+    plank_hy: float = 1.5
     radius_extra: float = 0.35
 
     @property
@@ -408,10 +420,19 @@ class StepperEnv:
             _mirror_active(cfg, state), self._mirror_act(action), action
         )
         qj, qdj = state.phys.q[7:], state.phys.qd[6:]
-        # support-size curriculum (see StepperConfig.radius_extra)
-        r_eff = state.stone_radius + cfg.radius_extra * (
-            1.0 - terr.level_scale(state.cur.level)
-        )
+        # support geometry (see StepperConfig.support)
+        if cfg.support == "disc":
+            # shrinking-disc support curriculum (radius_extra)
+            r_eff = state.stone_radius + cfg.radius_extra * (
+                1.0 - terr.level_scale(state.cur.level)
+            )
+            hy = None
+        elif cfg.support == "pillar":
+            r_eff, hy = state.stone_radius, None
+        elif cfg.support == "plank":
+            r_eff, hy = state.stone_radius, cfg.plank_hy
+        else:
+            raise ValueError(f"unknown support mode {cfg.support!r}")
         if cfg.actuation == "pd":
             # stable PD: target held over the control step, torque
             # re-evaluated each 240 Hz substep with implicit kp/kd
@@ -420,13 +441,14 @@ class StepperEnv:
                 model, state.phys, jnp.zeros_like(qj), state.terrain,
                 r_eff, jnp.asarray(False), cfg.contact,
                 pd_target=target, pd_power=state.robot_power,
+                support_hy=hy,
             )
         else:
             tau = engine.torque_actuation(model, action, qj, qdj)
             tau = tau * state.robot_power  # set_robot_params power scaling
             phys, info = engine.step(
                 model, state.phys, tau, state.terrain, r_eff,
-                jnp.asarray(False), cfg.contact,
+                jnp.asarray(False), cfg.contact, support_hy=hy,
             )
         foot_xyz = _foot_xyz(model, phys.q)
 
@@ -598,7 +620,7 @@ class StepperEnv:
 
     def update_curriculum(self, state: EnvState, level) -> EnvState:
         cur = state.cur._replace(
-            level=jnp.asarray(level, jnp.int32),
+            level=jnp.asarray(level, jnp.float32),
             use_prob=jnp.asarray(False),
         )
         return state._replace(cur=cur)
@@ -708,25 +730,46 @@ def _make(cfg: StepperConfig) -> StepperEnv:
     )
 
 
-def walker3d_stepper() -> StepperEnv:
+# The reference selects support geometry with a `plank_class` env kwarg
+# (mocca bullet_objects class names, SURVEY.md §2.9); map the names onto
+# our support modes. Half-extents are judgment calls documented in
+# reports/CALIBRATION.md (the mocca_envs submodule is absent upstream).
+PLANK_CLASSES = {
+    "Pillar": dict(support="pillar"),
+    "Plank": dict(support="plank", plank_hy=0.6),
+    "LargePlank": dict(support="plank", plank_hy=1.5),
+}
+
+
+def _overrides(kw: dict) -> dict:
+    kw = dict(kw)
+    plank_class = kw.pop("plank_class", None)
+    if plank_class is not None:
+        kw.update(PLANK_CLASSES[plank_class])
+    return kw
+
+
+def walker3d_stepper(**kw) -> StepperEnv:
     return _make(StepperConfig(
         name="Walker3DStepperEnv-v0",
         model=walker_mod.walker3d(),
         actuation="torque",
         obs_dim=60,
+        **_overrides(kw),
     ))
 
 
-def mike_stepper() -> StepperEnv:
+def mike_stepper(**kw) -> StepperEnv:
     return _make(StepperConfig(
         name="MikeStepperEnv-v0",
         model=walker_mod.mike(),
         actuation="torque",
         obs_dim=60,
+        **_overrides(kw),
     ))
 
 
-def cassie_stepper() -> StepperEnv:
+def cassie_stepper(**kw) -> StepperEnv:
     return _make(StepperConfig(
         name="CassieStepper-v1",
         model=cassie_mod.cassie(),
@@ -735,4 +778,5 @@ def cassie_stepper() -> StepperEnv:
         termination_height=0.5,
         clock_period=30,
         init_forward_speed=0.8,
+        **_overrides(kw),
     ))

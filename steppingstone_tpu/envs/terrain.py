@@ -42,22 +42,24 @@ class CurriculumState(NamedTuple):
     """Per-env curriculum knobs, stored as arrays so that changing them
     never retraces the train step (SURVEY.md §7 'recompilation discipline')."""
 
-    level: jnp.ndarray        # () int32 in [0, 5]
+    level: jnp.ndarray        # () float32 in [0, 5] (fractional = ramped
+    #                           interpolation between the reference's
+    #                           integer levels, runtime/curriculum.py)
     sample_prob: jnp.ndarray  # (GRID, GRID) categorical over (yaw, pitch)
     use_prob: jnp.ndarray     # () bool — sample from the grid vs uniform
 
 
-def default_curriculum(level: int = 0) -> CurriculumState:
+def default_curriculum(level: float = 0) -> CurriculumState:
     p = jnp.full((GRID, GRID), 1.0 / (GRID * GRID), dtype=jnp.float32)
     return CurriculumState(
-        level=jnp.asarray(level, dtype=jnp.int32),
+        level=jnp.asarray(level, dtype=jnp.float32),
         sample_prob=p,
         use_prob=jnp.asarray(False),
     )
 
 
 def level_scale(level: jnp.ndarray) -> jnp.ndarray:
-    return level.astype(jnp.float32) / (N_LEVELS - 1)
+    return jnp.clip(level.astype(jnp.float32) / (N_LEVELS - 1), 0.0, 1.0)
 
 
 def specialist_band_prob(k) -> jnp.ndarray:

@@ -87,7 +87,7 @@ class VecEnv:
 
     def update_curriculum(self, state: EnvState, level) -> EnvState:
         cur = state.cur._replace(
-            level=jnp.full((self.num_envs,), level, jnp.int32),
+            level=jnp.full((self.num_envs,), level, jnp.float32),
             use_prob=jnp.zeros((self.num_envs,), bool),
         )
         return state._replace(cur=cur)

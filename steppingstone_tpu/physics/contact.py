@@ -53,14 +53,31 @@ def stone_normals(stones: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([nx, ny, nz], axis=-1)
 
 
+def support_axes(stones: jnp.ndarray):
+    """In-plane unit axes of each stone's top surface: ux along the stone's
+    heading phi (walking direction) projected onto the tilted plane,
+    uy = n x ux (lateral). Used for box ("plank") support bounds —
+    the reference's Plank/LargePlank support objects (mocca `plank_class`,
+    SURVEY.md §2.9) are boxes elongated laterally, not discs."""
+    normals = stone_normals(stones)
+    phi = stones[..., 3]
+    h = jnp.stack([jnp.cos(phi), jnp.sin(phi), jnp.zeros_like(phi)], axis=-1)
+    hn = jnp.einsum("...k,...k->...", h, normals)
+    ux = h - hn[..., None] * normals
+    ux = ux / jnp.linalg.norm(ux, axis=-1, keepdims=True)
+    uy = jnp.cross(normals, ux)
+    return ux, uy
+
+
 def compute_contacts(
     points: jnp.ndarray,       # (NC, 3) sphere centers, world
     velocities: jnp.ndarray,   # (NC, 3) sphere center velocities
     radius: jnp.ndarray,       # (NC,)
     stones: jnp.ndarray,       # (S, 6) stone rows
-    stone_radius,              # scalar disc radius
+    stone_radius,              # scalar disc radius / plank half-length (walking dir)
     use_ground: jnp.ndarray,   # scalar bool: include plane z=0
     params: ContactParams = ContactParams(),
+    support_hy: float | None = None,  # None: disc; else plank lateral half-extent
 ) -> ContactOut:
     normals = stone_normals(stones)                      # (S, 3)
     centers = stones[:, :3]                              # (S, 3)
@@ -71,7 +88,16 @@ def compute_contacts(
     lat_d = jnp.linalg.norm(lat, axis=-1)
 
     pen = radius[:, None] - dist_n                       # (NC, S) penetration
-    on_disc = lat_d <= stone_radius + params.margin
+    if support_hy is None:
+        on_disc = lat_d <= stone_radius + params.margin
+    else:
+        # plank support: box bound in the stone's in-plane frame
+        ux, uy = support_axes(stones)                    # (S, 3) each
+        x_l = jnp.einsum("csk,sk->cs", lat, ux)
+        y_l = jnp.einsum("csk,sk->cs", lat, uy)
+        on_disc = (jnp.abs(x_l) <= stone_radius + params.margin) & (
+            jnp.abs(y_l) <= support_hy + params.margin
+        )
     # only contact the top surface, with a cap so a sphere far below a stone
     # doesn't snag it: valid while the center is above the mid-plane
     valid = on_disc & (pen > 0.0) & (dist_n > -radius[:, None])

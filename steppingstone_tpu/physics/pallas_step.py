@@ -268,6 +268,7 @@ def build_batched_step(
     gravity: float,
     interpret: bool = False,
     pd: bool = False,
+    support_hy=None,
 ):
     """Returns `f(q, qd, tau_j, stones, stone_radius, use_ground)` over a
     leading batch axis B (multiple of 1024) implementing
@@ -275,7 +276,12 @@ def build_batched_step(
 
     pd=True: stable-PD mode (engine._substep pd branch) — signature gains
     (target, power) after tau_j; PD torque is re-evaluated every substep
-    from the in-VMEM state with kp/kd folded into the implicit diagonals."""
+    from the in-VMEM state with kp/kd folded into the implicit diagonals.
+
+    support_hy=None: disc support (lateral bound |lat| <= stone_radius);
+    support_hy=<float>: plank support — box bound in the stone's in-plane
+    (heading, lateral) frame with half-extents (stone_radius, support_hy),
+    mirroring contact.compute_contacts(support_hy=...)."""
     if model.joint_rot is not None:
         raise NotImplementedError("pallas path assumes joint_rot is None")
 
@@ -317,7 +323,7 @@ def build_batched_step(
         lst = list(range(6)) + [5 + b for b in ancestors[i] if b > 0] + [5 + i]
         dof_anc.append(sorted(lst))
 
-    def substep(q, qd, tau_in, st_c, st_n, sr, ug, pd_args=None):
+    def substep(q, qd, tau_in, st_c, st_n, sr, ug, pd_args=None, st_u=None):
         """q: list nq, qd: list nd, tau_in: list NJ of symbolic scalars.
         st_c: list of S centers (vec3), st_n: list of S normals (vec3),
         sr: stone radius block, ug: use_ground block (0/1).
@@ -394,11 +400,22 @@ def build_batched_step(
                 n_s = st_n[s]
                 dist_n = sdot(rel, n_s)
                 lat = sub3(rel, scale3(n_s, dist_n))
-                lat2 = sdot(lat, lat)
                 pen = ssub(rad, dist_n)
                 rim = sadd(sr, margin)
+                if support_hy is None:
+                    lat2 = sdot(lat, lat)
+                    lat_ok = _blk(lat2) <= _blk(smul(rim, rim))
+                else:
+                    # plank: box bound in the stone's in-plane frame
+                    # (contact.support_axes)
+                    ux_s, uy_s = st_u[s]
+                    x_l = sdot(lat, ux_s)
+                    y_l = sdot(lat, uy_s)
+                    lat_ok = (jnp.abs(_blk(x_l)) <= _blk(rim)) & (
+                        jnp.abs(_blk(y_l)) <= support_hy + margin
+                    )
                 valid = (
-                    (_blk(lat2) <= _blk(smul(rim, rim)))
+                    lat_ok
                     & (_blk(pen) > 0.0)
                     & (_blk(dist_n) > -rad)
                 )
@@ -439,7 +456,10 @@ def build_batched_step(
             tau_act = tau_in[j]
             damp_j = sadd(j_damp[j], smul(limit_c, outf))
             stiff_j = sadd(j_stiff[j], smul(limit_k, outf))
-            if pd_args is not None and kp_l[j] > 0.0:
+            if pd_args is not None and (kp_l[j] > 0.0 or kd_l[j] > 0.0):
+                # gate matches engine._substep exactly: PD applies to every
+                # actuated joint (kp OR kd nonzero), so a kd-only joint gets
+                # the same damping torque on both paths
                 # stable PD (engine._substep pd branch): explicit torque
                 # from the current substep state, kp/kd implicit
                 target, power = pd_args
@@ -598,7 +618,7 @@ def build_batched_step(
         sr = sr_ref[0, 0]
         ug = ug_ref[0, 0]
         # stone centers + normals once per control step (contact.py:41-51)
-        st_c, st_n = [], []
+        st_c, st_n, st_u = [], [], []
         for s in range(n_stones):
             cx = st_ref[0, s * 6 + 0]
             cy = st_ref[0, s * 6 + 1]
@@ -608,12 +628,23 @@ def build_batched_step(
             sxt, cxt = jnp.sin(xt), jnp.cos(xt)
             syt, cyt = jnp.sin(yt), jnp.cos(yt)
             st_c.append((cx, cy, cz))
-            st_n.append((syt * cxt, -sxt, cyt * cxt))
+            n_s = (syt * cxt, -sxt, cyt * cxt)
+            st_n.append(n_s)
+            if support_hy is not None:
+                # in-plane axes of the plank top (contact.support_axes):
+                # ux = normalize(heading - (heading.n) n), uy = n x ux
+                ph = st_ref[0, s * 6 + 3]
+                h = (jnp.cos(ph), jnp.sin(ph), None)
+                hn = sdot(h, n_s)
+                ux_raw = sub3(h, scale3(n_s, hn))
+                inv = jax.lax.rsqrt(_blk(sdot(ux_raw, ux_raw)) + 1e-12)
+                ux = tuple(smul(c, inv) for c in ux_raw)
+                st_u.append((ux, cross3(n_s, ux)))
 
         def body(_, carry):
             q, qd, fc, fs, ff, atl, fsum = carry
             qn, qdn, info = substep(
-                list(q), list(qd), tau_in, st_c, st_n, sr, ug, pd_args
+                list(q), list(qd), tau_in, st_c, st_n, sr, ug, pd_args, st_u
             )
             fc2 = tuple(jnp.maximum(fc[i], info["foot_force"][i]) for i in range(2))
             fs2 = tuple(

@@ -72,6 +72,16 @@ class TrainConfig:
     replicate_num: int = 1
     resume: bool = False                # continue from checkpoints/latest
 
+    # env construction (reference passes `plank_class` as an env kwarg,
+    # SURVEY.md §2.9; "" = env default — see stepper.PLANK_CLASSES and
+    # reports/CALIBRATION.md)
+    plank_class: str = ""
+
+    # curriculum refinements (see runtime/curriculum.py FixedCurriculum and
+    # agents/networks.py reinflate_logstd; 0 disables either)
+    level_ramp_updates: int = 25        # updates to ramp each level advance
+    advance_logstd: float = -1.7        # re-inflate exploration on advance
+
     # TPU-native extras (no reference analog)
     mesh_devices: int = 0               # 0 = all visible devices
     checkpoint_async: bool = True

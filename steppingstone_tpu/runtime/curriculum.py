@@ -29,66 +29,105 @@ from steppingstone_tpu.envs import terrain as terr
 from steppingstone_tpu.envs.stepper import StepperEnv, create_temp_states
 
 N_EVENTS = 5          # stone-hit events per evaluation (train.py:259,353)
-MAX_EVAL_STEPS = 600  # cap; the reference loops until 5 events
+EVAL_ENVS = 16        # batched eval fleet (TPU redesign, see below)
+EVAL_STEPS = 160      # scan length of the batched eval rollout
 
 
 def make_value_grid_fn(env: StepperEnv, apply_fn: Callable,
-                       max_steps: int = MAX_EVAL_STEPS):
-    """Jitted: deterministic single-env rollout accumulating the candidate
-    value grid over the first N_EVENTS terrain updates."""
+                       max_steps: int = EVAL_STEPS, n_envs: int = EVAL_ENVS):
+    """Jitted: deterministic rollout accumulating the candidate value grid
+    over terrain-update events.
+
+    TPU redesign of the reference's eval loop (`train.py:234-259`): the
+    reference steps ONE env serially until 5 stone-hit events (~600+ env
+    steps of latency-bound physics — measured as a 4.8x per-update tax,
+    round-3 weak #5). Here a fleet of `n_envs` envs is vmapped, every
+    env's update_terrain events contribute to the grid sum (typically
+    ~n_envs*max_steps/25 >> 5 events, strictly better statistics), and
+    the scan is `max_steps` long — ~3.8x fewer sequential physics steps
+    with ~50x more scoring events. Candidate scoring runs branchlessly
+    every step (121*n_envs critic rows is one small fused matmul; masking
+    by the event flag costs nothing on the MXU)."""
 
     cfg = env.cfg
 
     @jax.jit
     def value_grid(params, key):
-        k_reset, k_roll = jax.random.split(key)
-        # eval env runs at level 0 (easy terrain) like the reference
+        keys = jax.random.split(key, n_envs)
+        # eval envs run at level 0 (easy terrain) like the reference
         # (`train.py:131,137`); the candidate grid still spans full range
-        state, obs = env.reset(k_reset, terr.default_curriculum(0))
+        state, obs = jax.vmap(env.reset, in_axes=(0, None))(
+            keys, terr.default_curriculum(0)
+        )
 
         def body(carry, _):
             state, obs, grid, count = carry
             action, _ = policy_action(apply_fn, params, obs, None, True)
-            state, out = env.step(state, action)
-
-            def scored(_):
-                temp = create_temp_states(cfg, state)          # (121, D)
-                v = apply_fn(params, temp, method="ensemble_values")
-                return jnp.mean(v, axis=-1)                    # (121,)
-
-            event = state.update_terrain & (count < N_EVENTS)
-            vals = jax.lax.cond(
-                event, scored, lambda _: jnp.zeros(terr.GRID * terr.GRID), None
+            state, out = jax.vmap(env.step)(state, action)
+            temp = jax.vmap(lambda s: create_temp_states(cfg, s))(state)
+            v = apply_fn(params, temp, method="ensemble_values")  # (E,121,ens)
+            vals = jnp.mean(v, axis=-1)                           # (E, 121)
+            event = state.update_terrain                          # (E,) bool
+            grid = grid + jnp.sum(
+                jnp.where(event[:, None], vals, 0.0), axis=0
             )
-            return (state, out.obs, grid + vals, count + event), None
+            return (state, out.obs, grid, count + jnp.sum(event)), None
 
-        init = (state, obs, jnp.zeros(terr.GRID * terr.GRID), jnp.asarray(0, jnp.int32))
+        init = (
+            state, obs, jnp.zeros(terr.GRID * terr.GRID),
+            jnp.asarray(0, jnp.int32),
+        )
         (state, obs, grid, count), _ = jax.lax.scan(
             body, init, None, length=max_steps
         )
         # normalize like the reference: metric /= max |metric| (train.py:354)
-        grid = grid / (jnp.max(jnp.abs(grid)) + 1e-8)
-        return grid.reshape(terr.GRID, terr.GRID), count
+        norm = grid / (jnp.max(jnp.abs(grid)) + 1e-8)
+        return norm.reshape(terr.GRID, terr.GRID), count
 
     return value_grid
 
 
 class FixedCurriculum:
-    """Reference fixed 6-level curriculum."""
+    """Reference fixed 6-level curriculum (`train.py:115-118,503-506`),
+    with an optional TPU-side refinement: instead of stepping the level
+    instantaneously (which craters the mean reward — observed 1008 -> 418
+    within 5 updates on Mike at level 2 — and leaves the value function
+    chasing a shifted reward distribution), the installed level ramps
+    linearly from the old to the new integer level over `ramp_updates`
+    updates. ramp_updates=0 reproduces the reference's step change.
 
-    def __init__(self, venv):
+    The advance RULE is unchanged: target level += 1 when mean episode
+    reward > 1000, at most to 5, and never while a ramp is in flight."""
+
+    def __init__(self, venv, ramp_updates: int = 0):
         self.venv = venv
-        self.level = 0
+        self.level = 0            # integer target level
+        self.frac = 0.0           # currently installed (possibly fractional)
+        self.ramp_updates = max(int(ramp_updates), 0)
 
     def install(self, env_state):
-        return self.venv.update_curriculum(env_state, self.level)
+        return self.venv.update_curriculum(env_state, self.frac)
+
+    def tick(self, env_state):
+        """Per-update ramp step toward the target level."""
+        if self.frac < self.level:
+            step = (
+                1.0 / self.ramp_updates if self.ramp_updates else float("inf")
+            )
+            self.frac = min(self.frac + step, float(self.level))
+            env_state = self.venv.update_curriculum(env_state, self.frac)
+        return env_state
 
     def post_update(self, env_state, mean_rew: float):
-        if mean_rew > 1000 and self.level <= 4:
+        """Returns (env_state, advanced: bool) — advanced=True on the
+        update where the target level increments (the driver re-inflates
+        exploration noise then)."""
+        if mean_rew > 1000 and self.level <= 4 and self.frac >= self.level:
             self.level += 1
             print("curriculum", self.level, flush=True)
-            env_state = self.venv.update_curriculum(env_state, self.level)
-        return env_state
+            env_state = self.tick(env_state)
+            return env_state, True
+        return env_state, False
 
 
 class AdaptiveSampling:
@@ -98,10 +137,12 @@ class AdaptiveSampling:
         self.venv = venv
         self.value_grid = make_value_grid_fn(env, apply_fn)
         self.last_probs = None
+        self.last_grid = None   # normalized V-bar grid (instrumentation)
 
     def pre_update(self, env_state, params, key):
         grid, _ = self.value_grid(params, key)
         probs = jax.nn.softmax(-10.0 * grid.reshape(-1)).reshape(grid.shape)
+        self.last_grid = np.asarray(grid)
         self.last_probs = np.asarray(probs)
         return self.venv.update_sample_prob(env_state, probs)
 
@@ -120,6 +161,7 @@ class ThresholdSampling:
         self.uniform_counter = 1
         self.uniform_sampling = True   # first round is uniform (train.py:125)
         self.last_probs = None
+        self.last_grid = None   # normalized V-bar grid (instrumentation)
 
     def pre_update(self, env_state, params, key):
         if self.uniform_sampling:
@@ -129,6 +171,7 @@ class ThresholdSampling:
         probs = jax.nn.softmax(
             -10.0 * jnp.abs(grid.reshape(-1) - self.threshold)
         ).reshape(grid.shape)
+        self.last_grid = np.asarray(grid)
         self.last_probs = np.asarray(probs)
         return self.venv.update_sample_prob(env_state, probs)
 

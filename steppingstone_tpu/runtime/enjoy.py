@@ -131,14 +131,17 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1093)  # reference enjoy.py:102
     ap.add_argument("--dump", default=None, help="write trajectory .npz here")
     ap.add_argument("--plot-value", action="store_true")
-    ap.add_argument("--curriculum", type=int, default=0)
+    ap.add_argument("--curriculum", type=float, default=0)
     ap.add_argument("--num-ensembles", type=int, default=1)
     ap.add_argument("--episodes", type=int, default=1)
     ap.add_argument("--use-specialist", action="store_true",
                     help="load <net>_specialist_{0..4} and switch by depth")
+    ap.add_argument("--plank-class", default=None,
+                    help="support geometry (stepper.PLANK_CLASSES)")
     args = ap.parse_args(argv)
 
-    env = make_env(args.env)
+    kw = {"plank_class": args.plank_class} if args.plank_class else {}
+    env = make_env(args.env, **kw)
     print(f"Env: {args.env}")
 
     if args.net is None:

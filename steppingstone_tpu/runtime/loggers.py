@@ -14,6 +14,19 @@ import os
 import numpy as np
 
 
+def _rotate(path):
+    """Move an existing file to the first free `<path>.bak[.N]` slot so
+    truncation never destroys a historical learning curve."""
+    if not (os.path.exists(path) and os.path.getsize(path) > 0):
+        return
+    bak = path + ".bak"
+    n = 1
+    while os.path.exists(bak):
+        n += 1
+        bak = f"{path}.bak.{n}"
+    os.replace(path, bak)
+
+
 class CSVLogger:
     def __init__(self, log_dir, filename="progress.csv", resume=False):
         os.makedirs(log_dir, exist_ok=True)
@@ -28,6 +41,8 @@ class CSVLogger:
         if had_rows:
             with open(path, newline="") as f:
                 self._expected_header = f.readline().strip().split(",")
+        if not had_rows:
+            _rotate(path)  # preserve any prior curve instead of erasing it
         self.csvfile = open(path, "a" if had_rows else "w", newline="")
         self._header_written = had_rows
         self.writer = None
@@ -58,10 +73,13 @@ class CSVLogger:
         if self.writer is None:
             fields = list(data)
             if self._expected_header is not None and self._expected_header != fields:
-                # resumed against a file with a different column set: start
-                # fresh rather than misalign rows under the old header
+                # resumed against a file with a different column set: rotate
+                # the old curve aside and start fresh rather than misalign
+                # rows under the old header (or silently erase history)
+                name = self.csvfile.name
                 self.csvfile.close()
-                self.csvfile = open(self.csvfile.name, "w", newline="")
+                _rotate(name)
+                self.csvfile = open(name, "w", newline="")
                 self._header_written = False
             self.writer = csv.DictWriter(self.csvfile, fieldnames=fields)
             if not self._header_written:

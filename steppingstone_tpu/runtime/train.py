@@ -39,7 +39,11 @@ if not os.environ.get("STEPPINGSTONE_NO_COMPILE_CACHE"):
 from steppingstone_tpu.agents import distributions as dist
 from steppingstone_tpu.agents.gae import compute_gae, normalize_advantages
 from steppingstone_tpu.agents.mirror import MirrorSpec
-from steppingstone_tpu.agents.networks import ActorCritic, reset_logstd
+from steppingstone_tpu.agents.networks import (
+    ActorCritic,
+    reinflate_logstd,
+    reset_logstd,
+)
 from steppingstone_tpu.agents.ppo import PPOConfig, make_optimizer, ppo_update
 from steppingstone_tpu.agents.rollout import EpisodeStats, collect_rollout, evaluate
 from steppingstone_tpu.envs import make_env
@@ -67,7 +71,8 @@ class Trainer:
     def __init__(self, cfg: TrainConfig):
         cfg.validate()
         self.cfg = cfg
-        self.env = make_env(cfg.env_name)
+        env_kw = {"plank_class": cfg.plank_class} if cfg.plank_class else {}
+        self.env = make_env(cfg.env_name, **env_kw)
 
         # ---- device mesh (built first: VecEnv shard_maps its step over
         # it, which keeps the Pallas kernel active per-shard) -----------
@@ -252,7 +257,10 @@ class Trainer:
             stats = pmesh.shard_env_tree(self.mesh, stats)
 
         # ---- curriculum strategies -----------------------------------
-        fixed = curr.FixedCurriculum(self.venv) if cfg.use_curriculum else None
+        fixed = (
+            curr.FixedCurriculum(self.venv, ramp_updates=cfg.level_ramp_updates)
+            if cfg.use_curriculum else None
+        )
         if fixed:
             print("curriculum", fixed.level, flush=True)
             env_state = fixed.install(env_state)
@@ -280,6 +288,8 @@ class Trainer:
             exp_dir, console_log_interval=cfg.log_interval, resume=cfg.resume
         )
         sampling_prob_log = []
+        value_grid_log = []   # normalized V-bar grids (threshold/adaptive
+        #                       instrumentation, round-4 verdict task 4)
 
         start = time.time()
         next_checkpoint = cfg.save_every
@@ -309,6 +319,7 @@ class Trainer:
                 "test_rets": tr,
                 "curriculum": {
                     "fixed_level": fixed.level if fixed else -1,
+                    "fixed_frac": fixed.frac if fixed else -1.0,
                     "specialist": specialist.specialist if specialist else -1,
                     "thr_uniform_counter":
                         threshold.uniform_counter if threshold else -1,
@@ -332,6 +343,7 @@ class Trainer:
                 for k in ("params", "opt_state", "update", "frames", "max_ep_reward")
             }
             snap = None
+            attempts = []
             for name, target in (
                 ("full", full), ("r2-layout", legacy), ("params-only", minimal)
             ):
@@ -344,13 +356,22 @@ class Trainer:
                             flush=True,
                         )
                     break
-                except Exception:
-                    continue
+                except Exception as e:  # noqa: BLE001 — each layout attempt
+                    # is logged and the final failure re-raises the chain,
+                    # so a genuinely corrupt checkpoint surfaces loudly
+                    # instead of silently degrading to params-only
+                    attempts.append((name, e))
+                    print(
+                        f"resume: '{name}' snapshot layout failed: "
+                        f"{type(e).__name__}: {e}",
+                        flush=True,
+                    )
             if snap is None:
                 raise RuntimeError(
                     "resume=True but checkpoints/latest matches no known "
-                    "snapshot layout"
-                )
+                    f"snapshot layout; attempts: "
+                    f"{[(n, type(e).__name__) for n, e in attempts]}"
+                ) from attempts[-1][1]
             params = jax.device_put(snap["params"])
             opt_state = jax.device_put(snap["opt_state"])
             if "value_opt_state" in snap:
@@ -372,6 +393,8 @@ class Trainer:
             c = snap.get("curriculum", {})
             if fixed and "fixed_level" in c:
                 fixed.level = int(c["fixed_level"])
+                fixed.frac = float(c.get("fixed_frac", fixed.level))
+                env_state = fixed.install(env_state)
             if specialist and "specialist" in c:
                 specialist.specialist = int(c["specialist"])
             if threshold and "thr_uniform_counter" in c:
@@ -406,15 +429,19 @@ class Trainer:
                 lr = cfg.lr
 
             # ---- curriculum pre-hooks --------------------------------
+            if fixed:
+                env_state = fixed.tick(env_state)
             key, k_curr = jax.random.split(key)
             if threshold:
                 env_state = threshold.pre_update(env_state, params, k_curr)
                 if threshold.last_probs is not None and cfg.save_sampling_prob:
                     sampling_prob_log.append(threshold.last_probs)
+                    value_grid_log.append(threshold.last_grid)
             if adaptive:
                 env_state = adaptive.pre_update(env_state, params, k_curr)
                 if adaptive.last_probs is not None and cfg.save_sampling_prob:
                     sampling_prob_log.append(adaptive.last_probs)
+                    value_grid_log.append(adaptive.last_grid)
 
             # ---- the compiled update ---------------------------------
             # reference alternation: `update_values` every other update
@@ -471,7 +498,11 @@ class Trainer:
 
             # ---- fixed curriculum / specialist advance ----------------
             if fixed and rets.size:
-                env_state = fixed.post_update(env_state, mean_rew)
+                env_state, advanced = fixed.post_update(env_state, mean_rew)
+                if advanced and cfg.advance_logstd != 0.0:
+                    # restore exploration for the harder level (reference
+                    # analog: warm-start reset_dist, controller.py:102-104)
+                    params = reinflate_logstd(params, cfg.advance_logstd)
             if specialist and rets.size:
                 env_state = specialist.post_update(
                     env_state, mean_rew,
@@ -521,6 +552,10 @@ class Trainer:
                     os.path.join(exp_dir, f"{cfg.env_name}_sampling_prob.pkl"), "wb"
                 ) as fp:
                     pickle.dump(sampling_prob_log, fp)
+                with open(
+                    os.path.join(exp_dir, f"{cfg.env_name}_value_grid.pkl"), "wb"
+                ) as fp:
+                    pickle.dump(value_grid_log, fp)
             # live sampling-prob heatmap (headless analog of the reference's
             # `plot_prob` in-loop matplotlib window)
             if cfg.plot_prob and sampling_prob_log and jax.process_index() == 0:

@@ -60,14 +60,26 @@ def make_writer(out: str, fps: int):
     return animation.PillowWriter(fps=fps)
 
 
-def draw_frame(ax, pos, edges, stones, stone_radius=0.25):
+def draw_frame(ax, pos, edges, stones, stone_radius=0.25, plank_hy=None):
     ax.clear()
-    # stones as discs (top-down uses circles; side view uses lines)
-    th = np.linspace(0, 2 * np.pi, 24)
-    for s in stones:
-        ax.plot(s[0] + stone_radius * np.cos(th),
-                s[1] + stone_radius * np.sin(th),
-                s[2] * np.ones_like(th), color="#888", lw=0.8)
+    if plank_hy is None:
+        # stones as discs (top-down uses circles; side view uses lines)
+        th = np.linspace(0, 2 * np.pi, 24)
+        for s in stones:
+            ax.plot(s[0] + stone_radius * np.cos(th),
+                    s[1] + stone_radius * np.sin(th),
+                    s[2] * np.ones_like(th), color="#888", lw=0.8)
+    else:
+        # planks: rectangles in the stone's heading frame
+        for s in stones:
+            c, sn = np.cos(s[3]), np.sin(s[3])
+            corners = np.array([
+                [sx * stone_radius, sy * plank_hy]
+                for sx, sy in ((1, 1), (1, -1), (-1, -1), (-1, 1), (1, 1))
+            ])
+            xs = s[0] + c * corners[:, 0] - sn * corners[:, 1]
+            ys = s[1] + sn * corners[:, 0] + c * corners[:, 1]
+            ax.plot(xs, ys, s[2] * np.ones(5), color="#888", lw=0.8)
     # capsule-ish bodies: linewidth in points scaled from the capsule
     # radius (round caps close the capsule ends)
     for a, b, r in edges:
@@ -91,6 +103,8 @@ def main(argv=None):
     ap.add_argument("--stride", type=int, default=2)
     ap.add_argument("--sheet", type=int, default=0,
                     help="write a PNG contact sheet with N frames instead")
+    ap.add_argument("--plank-hy", type=float, default=None,
+                    help="draw stones as planks with this lateral half-extent")
     args = ap.parse_args(argv)
 
     import matplotlib
@@ -111,7 +125,7 @@ def main(argv=None):
         fig = plt.figure(figsize=(4 * cols, 3.2 * rows))
         for i, t in enumerate(steps):
             ax = fig.add_subplot(rows, cols, i + 1, projection="3d")
-            draw_frame(ax, pos[t], edges, stones)
+            draw_frame(ax, pos[t], edges, stones, plank_hy=args.plank_hy)
             ax.set_title(f"t={t}", fontsize=8)
         fig.tight_layout()
         fig.savefig(args.out, dpi=100)
@@ -125,7 +139,7 @@ def main(argv=None):
     frames = range(0, pos.shape[0], args.stride)
 
     def update(t):
-        draw_frame(ax, pos[t], edges, stones)
+        draw_frame(ax, pos[t], edges, stones, plank_hy=args.plank_hy)
         return []
 
     anim = FuncAnimation(fig, update, frames=frames, blit=False)

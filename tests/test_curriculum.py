@@ -74,11 +74,55 @@ def test_fixed_curriculum_advances():
     fx = curr.FixedCurriculum(venv)
     state = fx.install(state)
     assert (np.asarray(state.cur.level) == 0).all()
-    state = fx.post_update(state, mean_rew=500.0)
-    assert fx.level == 0
-    state = fx.post_update(state, mean_rew=1500.0)
-    assert fx.level == 1
+    state, adv = fx.post_update(state, mean_rew=500.0)
+    assert fx.level == 0 and not adv
+    state, adv = fx.post_update(state, mean_rew=1500.0)
+    assert fx.level == 1 and adv
     assert (np.asarray(state.cur.level) == 1).all()
     for _ in range(10):
-        state = fx.post_update(state, mean_rew=1500.0)
+        state, _ = fx.post_update(state, mean_rew=1500.0)
     assert fx.level == 5  # caps at 5 (advance only while level <= 4)
+
+
+def test_fixed_curriculum_ramp():
+    """Ramped advance: the installed level interpolates to the target over
+    ramp_updates ticks, and no new advance can fire mid-ramp."""
+    env = make_env("Walker3DStepperEnv-v0")
+    venv = VecEnv(env, 2)
+    state, _ = venv.reset(jax.random.PRNGKey(0))
+    fx = curr.FixedCurriculum(venv, ramp_updates=4)
+    state = fx.install(state)
+    state, adv = fx.post_update(state, mean_rew=1500.0)
+    assert adv and fx.level == 1
+    assert np.allclose(np.asarray(state.cur.level), 0.25)
+    # mid-ramp: reward above threshold must NOT advance the target again
+    state, adv = fx.post_update(state, mean_rew=1500.0)
+    assert not adv and fx.level == 1
+    for _ in range(3):
+        state = fx.tick(state)
+    assert np.allclose(np.asarray(state.cur.level), 1.0)
+    state = fx.tick(state)  # at target: no-op
+    assert np.allclose(np.asarray(state.cur.level), 1.0)
+    state, adv = fx.post_update(state, mean_rew=1500.0)
+    assert adv and fx.level == 2
+
+
+def test_reinflate_and_project_logstd():
+    from steppingstone_tpu.agents.networks import (
+        LOGSTD_MIN,
+        clamped_logstd,
+        project_logstd,
+        reinflate_logstd,
+    )
+
+    params = {"params": {"logstd": jnp.array([-2.9, -1.2]), "w": jnp.ones(2)}}
+    p2 = reinflate_logstd(params, -1.7)
+    assert np.allclose(np.asarray(p2["params"]["logstd"]), [-1.7, -1.2])
+    # projection restores a sunk param to the floor
+    sunk = {"params": {"logstd": jnp.array([-5.0, -1.0]), "w": jnp.ones(2)}}
+    pj = project_logstd(sunk)
+    assert np.allclose(np.asarray(pj["params"]["logstd"]), [LOGSTD_MIN, -1.0])
+    # straight-through clamp: value floored, gradient passes through
+    g = jax.grad(lambda p: jnp.sum(clamped_logstd(p)))(sunk)
+    assert np.allclose(np.asarray(g["params"]["logstd"]), 1.0)
+    assert np.allclose(np.asarray(clamped_logstd(sunk)), [LOGSTD_MIN, -1.0])

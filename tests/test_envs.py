@@ -188,3 +188,63 @@ def test_update_curriculum_and_sample_prob(walker):
     state = venv.update_sample_prob(state, p)
     assert np.allclose(np.asarray(state.cur.sample_prob).sum(axis=(1, 2)), 1.0)
     assert np.asarray(state.cur.use_prob).all()
+
+
+# ---- support geometry (reference plank_class, SURVEY.md §2.9) ------------
+
+def test_plank_support_contact_bounds():
+    """Plank support: forgiving laterally (half-extent plank_hy), bounded
+    along the walking direction (half-extent stone_radius), rotated with
+    the stone heading."""
+    from steppingstone_tpu.physics import contact as ct
+
+    stones = jnp.array([[0.0, 0.0, 0.0, 0.0, 0.0, 0.0]])
+    pts = jnp.array([
+        [0.0, 1.2, 0.03],   # far lateral: on plank, off disc
+        [0.5, 0.0, 0.03],   # far along heading: off both
+        [0.0, 0.0, 0.03],   # center: on both
+    ])
+    vel = jnp.zeros((3, 3))
+    rad = jnp.full((3,), 0.05)
+    disc = ct.compute_contacts(pts, vel, rad, stones, 0.25, jnp.asarray(False))
+    plank = ct.compute_contacts(
+        pts, vel, rad, stones, 0.25, jnp.asarray(False), support_hy=1.5
+    )
+    assert list(np.asarray(disc.in_contact)) == [False, False, True]
+    assert list(np.asarray(plank.in_contact)) == [True, False, True]
+    # heading rotation: a 90-degree stone swaps the roles of x and y
+    stones_rot = stones.at[0, 3].set(jnp.pi / 2)
+    plank_rot = ct.compute_contacts(
+        pts, vel, rad, stones_rot, 0.25, jnp.asarray(False), support_hy=1.5
+    )
+    assert list(np.asarray(plank_rot.in_contact)) == [False, True, True]
+
+
+def test_plank_class_kwarg_and_static_support():
+    """`plank_class` env kwarg maps to static plank support decoupled from
+    the level axis: effective support does not shrink with level."""
+    env = make_env("Walker3DStepperEnv-v0", plank_class="LargePlank")
+    assert env.cfg.support == "plank" and env.cfg.plank_hy == 1.5
+    pillar = make_env("Walker3DStepperEnv-v0", plank_class="Pillar")
+    assert pillar.cfg.support == "pillar"
+    # default stays the disc curriculum
+    assert make_env("Walker3DStepperEnv-v0").cfg.support == "disc"
+    state, obs = env.reset(jax.random.PRNGKey(0), terr.default_curriculum(5))
+    step = jax.jit(env.step)
+    for i in range(3):
+        state, out = step(state, jnp.zeros(env.action_dim))
+        assert np.isfinite(np.asarray(out.obs)).all()
+
+
+def test_fractional_level_interpolates_terrain():
+    """Fractional curriculum levels scale the sampling ranges between the
+    reference's integer levels (ramped advance, runtime/curriculum.py)."""
+    def spread(level):
+        t = terr.generate_terrain(
+            jax.random.PRNGKey(3), terr.default_curriculum(level), 24
+        )
+        return float(jnp.abs(jnp.asarray(t[2:, 2])).max())  # |z| spread
+
+    s0, s25, s5 = spread(0.0), spread(2.5), spread(5.0)
+    assert s0 < 1e-5
+    assert s0 < s25 < s5
