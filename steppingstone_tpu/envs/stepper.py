@@ -13,7 +13,9 @@ to the call-site contract of SURVEY.md §2.9:
   x_tilt, y_tilt) = 6 + 42 + 2 + 10 = 60
 - reward = progress-potential + step bonus 50*exp(-d/0.25) + target bonus
   + tall bonus (+2/-1) - electricity/stall-torque/joint-limit/posture
-  penalties; episode ends on fall (height < termination) or timeout only
+  penalties; episode ends on fall (height < termination), stall
+  (stall_timeout steps with no new stone hit — see StepperConfig), or
+  timeout
 - `update_terrain` event semantics: True on the control step where the
   character hits the target stone and the next-next stone is (re)sampled
 - `create_temp_states`: hypothetical observations for all 11x11 candidate
@@ -64,6 +66,7 @@ class EnvState(NamedTuple):
     foot_contact: jnp.ndarray     # (2,) bool from the last control step
     foot_xyz: jnp.ndarray         # (2, 3) foot link origins (world)
     phase: jnp.ndarray            # () f32 gait clock in [0, 1) (Cassie obs)
+    last_hit: jnp.ndarray         # () int32 elapsed at the last stone hit
     mirror_enabled: jnp.ndarray   # () bool — reference `set_mirror` flag
     mirror_episode: jnp.ndarray   # () bool — this episode runs mirrored
     robot_power: jnp.ndarray      # () f32 torque scale (set_robot_params)
@@ -98,6 +101,19 @@ class StepperConfig:
     step_bonus_scale: float = 0.25    # 50 * exp(-dist / 0.25)
     target_bonus: float = 2.0         # per step standing at the final stone
     tall_bonus: float = 2.0
+    # Stall timeout: terminate (as a fall, no explicit penalty) when no NEW
+    # stone has been hit for this many control steps, except at the final
+    # stone (standing there is the intended success, mocca target_bonus).
+    # Rationale: the tall bonus (+2/step to the 1000-step horizon ~ 2000)
+    # otherwise makes standing still a reward optimum that beats risky
+    # stepping AND clears the curriculum-advance bar (mean > 1000) without
+    # walking — observed twice (commit d279f44 on discs; the round-4
+    # plank A/B, reports/behavior_ab_plank.json: 0.55 stones/episode,
+    # x=0.4 m, mean 1814 by standing). With the timeout, standing earns
+    # at most ~2*stall_timeout ~ 360 < any walking episode. The running
+    # start (below) makes standing non-trivial to reach; this makes it
+    # strictly dominated. 3 s is generous: steps take 0.5-1 s.
+    stall_timeout: int = 180
     electricity_cost: float = 4.5     # * mean(|a| * |0.1 qd|)
     stall_torque_cost: float = 0.225  # * mean(a^2)
     joints_at_limit_cost: float = 0.1  # * count(|norm angle| > 0.99)
@@ -388,6 +404,7 @@ class StepperEnv:
             foot_contact=jnp.zeros(2, dtype=bool),
             foot_xyz=_foot_xyz(model, q),
             phase=jnp.asarray(0.0, jnp.float32),
+            last_hit=jnp.asarray(0, jnp.int32),
             mirror_enabled=jnp.asarray(mirror_enabled),
             mirror_episode=jax.random.bernoulli(k_mir),
             robot_power=jnp.asarray(1.0, jnp.float32),
@@ -541,7 +558,11 @@ class StepperEnv:
         reward = jnp.where(finite, reward, 0.0)
         elapsed = state.elapsed + 1
         timeout = elapsed >= cfg.max_episode_steps
-        fall = ~tall | ~finite
+        last_hit = jnp.where(hit, elapsed, state.last_hit)
+        stalled = (
+            (elapsed - last_hit >= cfg.stall_timeout) & (ns_new != last)
+        )
+        fall = ~tall | ~finite | stalled
         done = fall | timeout
         ep_return = state.ep_return + reward
 
@@ -550,6 +571,7 @@ class StepperEnv:
             prev_dist=new_dist,
             ep_return=ep_return,
             update_terrain=hit,
+            last_hit=last_hit,
         )
 
         # ---- auto-reset (reference worker `envs_utils.py:646-649`) ----

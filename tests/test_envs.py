@@ -248,3 +248,29 @@ def test_fractional_level_interpolates_terrain():
     s0, s25, s5 = spread(0.0), spread(2.5), spread(5.0)
     assert s0 < 1e-5
     assert s0 < s25 < s5
+
+
+def test_stall_timeout_terminates(walker):
+    """No new stone hit for stall_timeout steps => episode ends (the
+    standing-still reward optimum is strictly dominated; StepperConfig
+    rationale)."""
+    state, obs = walker.reset(jax.random.PRNGKey(0))
+    cfg = walker.cfg
+    # surgery: pretend we're one step away from the stall deadline
+    state = state._replace(
+        elapsed=jnp.asarray(cfg.stall_timeout - 1, jnp.int32),
+        last_hit=jnp.asarray(0, jnp.int32),
+    )
+    state, out = jax.jit(walker.step)(state, jnp.zeros(walker.action_dim))
+    assert bool(out.done)
+    assert not bool(out.timeout)  # a stall is a failure, not a time limit
+    # at the final stone the stall rule is exempt (standing there is the
+    # intended success behavior)
+    state2, _ = walker.reset(jax.random.PRNGKey(1))
+    state2 = state2._replace(
+        elapsed=jnp.asarray(cfg.stall_timeout - 1, jnp.int32),
+        last_hit=jnp.asarray(0, jnp.int32),
+        next_step_index=jnp.asarray(cfg.n_stones - 1, jnp.int32),
+    )
+    state2, out2 = jax.jit(walker.step)(state2, jnp.zeros(walker.action_dim))
+    assert not bool(out2.done)
