@@ -11,7 +11,13 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-COMMON="num_processes=1024 episode_steps=409600 mini_batch_size=4096 \
+# mini_batch_size=1024 is the REFERENCE learner shape (train.py:62):
+# our batches are 10x the reference's 40k frames, and round-4's first A/B
+# showed late-run learning was LR-floor-limited at 4096-row minibatches —
+# matching the reference's minibatch size makes per-frame SGD-step count
+# and per-step noise scale reference-equal (400 minibatches x 10 epochs
+# per update, all inside the one compiled update program).
+COMMON="num_processes=1024 episode_steps=409600 mini_batch_size=1024 \
   num_tests=64 test_interval=10 mesh_devices=1 use_mirror=True \
   episode_log=True seed=8"
 
@@ -37,9 +43,12 @@ stage=${1:-all}
 
 if [ "$stage" = ab ] || [ "$stage" = all ]; then
   # --- support-geometry A/B (CALIBRATION.md protocol) -----------------
-  run runs/r4_ab_disc 2400 env_name=Walker3DStepperEnv-v0 \
+  # round 2 of the A/B: after the stall-timeout fix (standing exploit on
+  # planks) and at the reference learner shape; the first arms are kept
+  # as runs/r4_ab_{disc,plank} for the calibration note
+  run runs/r4_ab_disc2 3000 env_name=Walker3DStepperEnv-v0 \
     use_curriculum=True num_frames=1.5e8
-  run runs/r4_ab_plank 2400 env_name=Walker3DStepperEnv-v0 \
+  run runs/r4_ab_plank2 3000 env_name=Walker3DStepperEnv-v0 \
     plank_class=LargePlank use_curriculum=True num_frames=1.5e8
 fi
 

@@ -447,7 +447,19 @@ class StepperEnv:
         elif cfg.support == "pillar":
             r_eff, hy = state.stone_radius, None
         elif cfg.support == "plank":
-            r_eff, hy = state.stone_radius, cfg.plank_hy
+            # same walking-direction assist as disc mode: at level 0 the
+            # planks overlap into a carpet (hx 0.60 > half the 0.65 m
+            # spacing), shrinking to the calibrated reference geometry
+            # (hx = stone_radius) at level 5. Without it, level-0 planks
+            # have 0.15-0.25 m gaps from the first frame and the policy
+            # settles into the walk-2-stones-then-stand stall optimum
+            # (runs/r4_ab_plank2: 240-step episodes, return pinned at
+            # ~454 for 2.7e8 frames). The LEVEL-5 geometry — the mastery
+            # claim — is unchanged by the assist.
+            r_eff = state.stone_radius + cfg.radius_extra * (
+                1.0 - terr.level_scale(state.cur.level)
+            )
+            hy = cfg.plank_hy
         else:
             raise ValueError(f"unknown support mode {cfg.support!r}")
         if cfg.actuation == "pd":
