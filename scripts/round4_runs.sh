@@ -56,11 +56,24 @@ if [ "$stage" = headline ] || [ "$stage" = all ]; then
   # --- headline capability runs on the calibrated geometry ------------
   run runs/r4_w3d 2800 env_name=Walker3DStepperEnv-v0 \
     plank_class=LargePlank use_curriculum=True num_frames=3e8
+  # Mike warm-starts from the trained Walker3D policy (same skeleton,
+  # 60/21 spaces) — the reference's own load_saved_controller flow
+  # (train.py:147-153; it ships {env}_base.pt warm starts): from-scratch
+  # Mike converges to the capped stall-standing optimum
+  # (runs/r4_mike_scratch, mean pinned at ~421 for 1.9e8 frames)
+  # warm-start stabilizers: the transplanted gait walks Mike perfectly
+  # deterministically, but one unguarded 4000-step PPO update destroyed
+  # it (ppo.py kl_cutoff rationale) — guard KL + warm the lr up
   run runs/r4_mike 2800 env_name=MikeStepperEnv-v0 \
-    plank_class=LargePlank use_curriculum=True num_frames=3e8
+    plank_class=LargePlank use_curriculum=True num_frames=3e8 \
+    net=runs/r4_w3d/checkpoints/best warm_start_logstd=-2.0 \
+    kl_cutoff=0.12 lr_warmup_updates=20
+  # Cassie warm-starts from the reference's own shipped base controller
+  # (CassieStepper-v1_base.pt via torch_import) = load_saved_controller,
+  # the reference's documented Cassie flow
   run runs/r4_cassie 3200 env_name=CassieStepper-v1 \
     plank_class=LargePlank use_curriculum=True use_phase_mirror=True \
-    num_ensembles=2 num_frames=3e8
+    num_ensembles=2 num_frames=3e8 load_saved_controller=True
 fi
 
 if [ "$stage" = sampling ] || [ "$stage" = all ]; then

@@ -43,6 +43,13 @@ class PPOConfig:
     eps: float = 1e-5
     use_clipped_value_loss: bool = False
     mirror: Optional[MirrorSpec] = None
+    # Approximate-KL trust guard: when > 0, a minibatch whose mean
+    # approx KL (old_logp - new_logp) exceeds the cutoff applies NO
+    # parameter update (the compiled-scan analog of early stopping).
+    # Plain PPO clipping does not bound total policy drift over the
+    # epoch*minibatch scan: a warm-started gait was destroyed by ONE
+    # 4000-step update (runs/r4_mike_warmfail3: mean 784 -> 75).
+    kl_cutoff: float = 0.0
 
 
 class PPOMetrics(NamedTuple):
@@ -51,6 +58,7 @@ class PPOMetrics(NamedTuple):
     dist_entropy: jnp.ndarray
     grad_norm: jnp.ndarray
     clip_frac: jnp.ndarray
+    approx_kl: jnp.ndarray
 
 
 def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
@@ -72,6 +80,7 @@ def _losses(apply_fn, params, cfg: PPOConfig, mb):
     log_probs = dist.log_prob(mean, logstd, mb["actions"])          # (B, 1)
     entropy = jnp.mean(dist.entropy(jnp.broadcast_to(logstd, mean.shape)))
 
+    approx_kl = jnp.mean(mb["log_probs"] - log_probs)
     ratio = jnp.exp(log_probs - mb["log_probs"])
     surr1 = ratio * mb["adv"]
     surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * mb["adv"]
@@ -90,7 +99,7 @@ def _losses(apply_fn, params, cfg: PPOConfig, mb):
     else:
         value_loss = 0.5 * jnp.mean(jnp.square(mb["returns"] - values))
 
-    return action_loss, value_loss, entropy, clip_frac
+    return action_loss, value_loss, entropy, clip_frac, approx_kl
 
 
 def _minibatch_step(apply_fn, tx, cfg: PPOConfig, value_only: bool):
@@ -100,7 +109,9 @@ def _minibatch_step(apply_fn, tx, cfg: PPOConfig, value_only: bool):
             mb = mirror_minibatch(cfg.mirror, mb)
 
         def loss_fn(p):
-            action_loss, value_loss, entropy, clip_frac = _losses(apply_fn, p, cfg, mb)
+            action_loss, value_loss, entropy, clip_frac, approx_kl = _losses(
+                apply_fn, p, cfg, mb
+            )
             if value_only:
                 total = value_loss * cfg.value_loss_coef
             else:
@@ -109,18 +120,27 @@ def _minibatch_step(apply_fn, tx, cfg: PPOConfig, value_only: bool):
                     + action_loss
                     - entropy * cfg.entropy_coef
                 )
-            return total, (value_loss, action_loss, entropy, clip_frac)
+            return total, (value_loss, action_loss, entropy, clip_frac, approx_kl)
 
-        grads, (value_loss, action_loss, entropy, clip_frac) = jax.grad(
+        grads, (value_loss, action_loss, entropy, clip_frac, approx_kl) = jax.grad(
             loss_fn, has_aux=True
         )(params)
         gnorm = optax.global_norm(grads)
+        step_lr = lr
+        if cfg.kl_cutoff > 0.0 and not value_only:
+            # trust guard: drifted-too-far minibatches apply no update
+            # (Adam moments still advance; the scan stays shape-static)
+            step_lr = jnp.where(approx_kl > cfg.kl_cutoff, 0.0, lr)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p - step_lr * u, params, updates
+        )
         from steppingstone_tpu.agents.networks import project_logstd
 
         params = project_logstd(params)
-        metrics = PPOMetrics(value_loss, action_loss, entropy, gnorm, clip_frac)
+        metrics = PPOMetrics(
+            value_loss, action_loss, entropy, gnorm, clip_frac, approx_kl
+        )
         return (params, opt_state, lr), metrics
 
     return step

@@ -175,8 +175,30 @@ def walker3d() -> RobotModel:
 @lru_cache(maxsize=None)
 def mike() -> RobotModel:
     """Mike: same skeleton as Walker3D, heavier and slightly taller
-    (SURVEY.md §2.9: 'same skeleton, different morphology/mass')."""
+    (SURVEY.md §2.9: 'same skeleton, different morphology/mass').
+
+    Torque caps scale with the mass so strength-to-weight matches
+    Walker3D: at Walker3D's absolute caps a 1.45x-mass character cannot
+    hold a transplanted walking gait (round-4 `runs/r4_mike_scratch` and
+    the first warm-start attempt both collapsed — mean pinned at the
+    stall-standing cap / insta-falls). The reference's Mike demonstrably
+    walks (README.md:27-32); with its env source absent (empty mocca_envs
+    submodule), equal strength-to-weight is the calibration that
+    reproduces that capability."""
+    import dataclasses
+
     m = _humanoid("mike", mass_scale=1.45, len_scale=1.04)
+    # physical consistency: _humanoid scales link masses but passes the
+    # Walker3D inertia constants verbatim; a 1.45x-mass 1.04x-length body
+    # has ~1.45*1.04^2 the rotational inertia. Without this, the scaled
+    # torques make every joint respond 45% snappier than the same gait on
+    # Walker3D (rotationally overpowered, translationally heavy) and
+    # transplanted gaits cannot stabilize.
+    m = dataclasses.replace(
+        m,
+        torque_limit=m.torque_limit * 1.45,
+        inertia=m.inertia * (1.45 * 1.04 ** 2),
+    )
     _check(m)
     return m
 

@@ -81,6 +81,14 @@ class TrainConfig:
     # agents/networks.py reinflate_logstd; 0 disables either)
     level_ramp_updates: int = 25        # updates to ramp each level advance
     advance_logstd: float = -1.7        # re-inflate exploration on advance
+    # exploration reset on warm start (reference resets to -2.5,
+    # controller.py:102-104; imperfect transplants need a warmer start)
+    warm_start_logstd: float = -2.5
+    # warm-start stabilizers (agents/ppo.py kl_cutoff rationale): scale lr
+    # by min(1, (j+1)/lr_warmup_updates), and skip minibatch updates whose
+    # approx KL exceeds kl_cutoff (0 disables both)
+    lr_warmup_updates: int = 0
+    kl_cutoff: float = 0.0
 
     # TPU-native extras (no reference analog)
     mesh_devices: int = 0               # 0 = all visible devices

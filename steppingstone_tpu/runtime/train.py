@@ -112,6 +112,7 @@ class Trainer:
             eps=cfg.eps,
             use_clipped_value_loss=cfg.use_clipped_value_loss,
             mirror=mirror,
+            kl_cutoff=cfg.kl_cutoff,
         )
         self.tx = make_optimizer(self.ppo_cfg)
 
@@ -156,14 +157,18 @@ class Trainer:
         cfg = self.cfg
         obs_dim = self.env.observation_dim
         if cfg.load_saved_controller or cfg.net:
-            from steppingstone_tpu.runtime.torch_import import load_reference_checkpoint
+            # reference warm-start flow (`train.py:147-153`): load
+            # {env}_base.pt (or an explicit `net=` path — also accepts one
+            # of OUR orbax checkpoints, e.g. warm-starting Mike from the
+            # trained Walker3D policy, same skeleton/spaces)
+            from steppingstone_tpu.runtime.enjoy import load_params
 
             path = cfg.net or os.path.join(
                 "/root/reference/playground/models",
                 f"{cfg.env_name}_base.pt",
             )
             print(f"Loading model {path}", flush=True)
-            params, n_critics = load_reference_checkpoint(path, self.env.action_dim)
+            params, n_critics = load_params(path, self.env, cfg.num_ensembles)
             if n_critics != cfg.num_ensembles:
                 raise SystemExit(
                     f"checkpoint has {n_critics} critics, config wants "
@@ -171,7 +176,7 @@ class Trainer:
                 )
             # reference resets exploration noise on warm start
             # (train.py:153, controller.py:102)
-            return reset_logstd(params)
+            return reset_logstd(params, cfg.warm_start_logstd)
         return self.net.init(key, jnp.zeros((1, obs_dim)))
 
     # ------------------------------------------------------------------
@@ -427,6 +432,8 @@ class Trainer:
                 lr = exponential_decay(j, 0.99, cfg.lr, final_value=3e-5)
             else:
                 lr = cfg.lr
+            if cfg.lr_warmup_updates:
+                lr = lr * min(1.0, (j + 1) / cfg.lr_warmup_updates)
 
             # ---- curriculum pre-hooks --------------------------------
             if fixed:
