@@ -68,12 +68,22 @@ if [ "$stage" = headline ] || [ "$stage" = all ]; then
     plank_class=LargePlank use_curriculum=True num_frames=3e8 \
     net=runs/r4_w3d/checkpoints/best warm_start_logstd=-2.0 \
     kl_cutoff=0.12 lr_warmup_updates=20
-  # Cassie warm-starts from the reference's own shipped base controller
-  # (CassieStepper-v1_base.pt via torch_import) = load_saved_controller,
-  # the reference's documented Cassie flow
-  run runs/r4_cassie 3200 env_name=CassieStepper-v1 \
+  # Cassie trains from scratch: the reference's shipped base controller
+  # does not survive transplant into our sim (runs/r4_cassie_basefail;
+  # the round-3 transplant analysis pinned the same gap), and the r3
+  # from-scratch Cassie learned steadily
+  run runs/r4_cassie 3600 env_name=CassieStepper-v1 \
     plank_class=LargePlank use_curriculum=True use_phase_mirror=True \
-    num_ensembles=2 num_frames=3e8 load_saved_controller=True
+    num_ensembles=2 num_frames=3e8
+fi
+
+if [ "$stage" = mike_ext ]; then
+  # extension of the warm-started Mike run after the mirror-aware KL
+  # guard fix (it froze at level 4 once asymmetry tripped the guard)
+  run runs/r4_mike 2800 env_name=MikeStepperEnv-v0 \
+    plank_class=LargePlank use_curriculum=True num_frames=5.5e8 \
+    net=runs/r4_w3d/checkpoints/best warm_start_logstd=-2.0 \
+    kl_cutoff=0.12 lr_warmup_updates=20
 fi
 
 if [ "$stage" = sampling ] || [ "$stage" = all ]; then

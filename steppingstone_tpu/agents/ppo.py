@@ -80,7 +80,15 @@ def _losses(apply_fn, params, cfg: PPOConfig, mb):
     log_probs = dist.log_prob(mean, logstd, mb["actions"])          # (B, 1)
     entropy = jnp.mean(dist.entropy(jnp.broadcast_to(logstd, mean.shape)))
 
-    approx_kl = jnp.mean(mb["log_probs"] - log_probs)
+    # approx KL for the trust guard: with mirror augmentation the
+    # SECOND half of the minibatch are mirrored rows carrying the
+    # ORIGINAL rows' log_probs (the asymmetry-regularizing surrogate of
+    # the reference mirror loss), so only the first (original) half
+    # measures actual policy drift — including the mirrored half froze a
+    # run permanently once asymmetry alone exceeded the cutoff
+    # (runs/r4_mike: entropy pinned at -5.90 for 480 updates)
+    n_orig = log_probs.shape[0] // 2 if cfg.mirror is not None else log_probs.shape[0]
+    approx_kl = jnp.mean(mb["log_probs"][:n_orig] - log_probs[:n_orig])
     ratio = jnp.exp(log_probs - mb["log_probs"])
     surr1 = ratio * mb["adv"]
     surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * mb["adv"]
