@@ -133,15 +133,16 @@ class FixedCurriculum:
 class AdaptiveSampling:
     """Reference adaptive value-based sampling (train.py:320-361)."""
 
-    def __init__(self, venv, env: StepperEnv, apply_fn):
+    def __init__(self, venv, env: StepperEnv, apply_fn, scale: float = 10.0):
         self.venv = venv
         self.value_grid = make_value_grid_fn(env, apply_fn)
+        self.scale = scale
         self.last_probs = None
         self.last_grid = None   # normalized V-bar grid (instrumentation)
 
     def pre_update(self, env_state, params, key):
         grid, _ = self.value_grid(params, key)
-        probs = jax.nn.softmax(-10.0 * grid.reshape(-1)).reshape(grid.shape)
+        probs = jax.nn.softmax(-self.scale * grid.reshape(-1)).reshape(grid.shape)
         self.last_grid = np.asarray(grid)
         self.last_probs = np.asarray(probs)
         return self.venv.update_sample_prob(env_state, probs)
@@ -153,9 +154,19 @@ class ThresholdSampling:
     periodic uniform rounds."""
 
     def __init__(self, venv, env: StepperEnv, apply_fn, threshold: float = 0.85,
-                 uniform_every: int = 500000):
+                 uniform_every: int = 500000, scale: float = 10.0):
+        """`scale` is the softmax sharpness: the reference's ACTIVE code
+        path hardcodes 10 (`train.py:265`), but its config carries
+        `sampling_scale=150` used by the commented experiment variants
+        (`train.py:264` comment block), and the achievable concentration
+        is bounded by scale x (normalized V-bar spread): the measured
+        spread is only 0.04-0.25 (runs/r4_w3d_threshold value_grid.pkl),
+        so at scale 10 the distribution mathematically cannot sharpen
+        beyond ~4.7 nats. Pass the config's sampling_scale for visibly
+        concentrated sampling."""
         self.venv = venv
         self.value_grid = make_value_grid_fn(env, apply_fn)
+        self.scale = scale
         self.threshold = threshold
         self.uniform_every = uniform_every
         self.uniform_counter = 1
@@ -169,7 +180,7 @@ class ThresholdSampling:
             return self.venv.update_curriculum(env_state, terr.N_LEVELS - 1)
         grid, _ = self.value_grid(params, key)
         probs = jax.nn.softmax(
-            -10.0 * jnp.abs(grid.reshape(-1) - self.threshold)
+            -self.scale * jnp.abs(grid.reshape(-1) - self.threshold)
         ).reshape(grid.shape)
         self.last_grid = np.asarray(grid)
         self.last_probs = np.asarray(probs)

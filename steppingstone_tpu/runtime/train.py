@@ -275,13 +275,17 @@ class Trainer:
         if specialist:
             env_state = specialist.install(env_state)
         adaptive = (
-            curr.AdaptiveSampling(self.venv, self.env, self.net.apply)
+            curr.AdaptiveSampling(
+                self.venv, self.env, self.net.apply,
+                scale=float(cfg.sampling_scale),
+            )
             if cfg.use_adaptive_sampling else None
         )
         threshold = (
             curr.ThresholdSampling(
                 self.venv, self.env, self.net.apply,
                 threshold=cfg.curriculum_threshold,
+                scale=float(cfg.sampling_scale),
             )
             if cfg.use_threshold_sampling else None
         )
