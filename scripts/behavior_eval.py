@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--ensembles", type=int, default=1)
     ap.add_argument("--envs", type=int, default=256)
     ap.add_argument("--steps", type=int, default=1000)
-    ap.add_argument("--tag", default="best")
+    ap.add_argument("--tag", default="latest")
     ap.add_argument("--plank_class", default=None,
                     help="evaluate on this support geometry (stepper.PLANK_CLASSES)")
     ap.add_argument("--platform", default=os.environ.get("JAX_PLATFORMS", "cpu"))
@@ -63,26 +63,38 @@ def main():
             jax.vmap(env.reset, in_axes=(0, None))
         )(keys, terr.default_curriculum(level))
 
+        last = env.cfg.n_stones - 1
+
         @jax.jit
         def run(params, state, obs):
             def body(c, _):
                 state, obs = c
+                ns_pre = state.next_step_index  # target BEFORE this step
                 a = net.apply(params, obs, method="action_mean")
                 state, out = jax.vmap(env.step)(state, a)
                 return (state, out.obs), (
                     out.reward, out.hit, out.done, out.timeout,
-                    out.ep_return, out.ep_len,
+                    out.ep_return, out.ep_len, ns_pre,
                 )
 
             (state, obs), ys = jax.lax.scan(body, (state, obs), None, length=T)
             return ys, state
 
-        (rew, hit, done, tout, ep_ret, ep_len), fstate = run(params, state, obs)
-        rew, hit, done, tout, ep_ret, ep_len = (
-            np.asarray(v) for v in (rew, hit, done, tout, ep_ret, ep_len)
+        (rew, hit, done, tout, ep_ret, ep_len, ns_pre), fstate = run(
+            params, state, obs
+        )
+        rew, hit, done, tout, ep_ret, ep_len, ns_pre = (
+            np.asarray(v) for v in (rew, hit, done, tout, ep_ret, ep_len, ns_pre)
         )
         ended = int(done.sum())              # completed episodes
         falls = int(done.sum() - tout.sum())  # ended by falling, not time
+        # the terrain is a FINITE track of n_stones (the reference's is an
+        # infinite treadmill, enjoy.py resamples forever): an episode whose
+        # target index reached the LAST stone has walked the whole track —
+        # ending there (running off the end / stopping) is success, not a
+        # capability fall. Capability metrics below exclude those.
+        reached_end = done & (ns_pre >= last)
+        falls_mid = int((done & ~tout & (ns_pre < last)).sum())
         # episodes in flight at the horizon count once each for rates
         n_ep = ended + N
         d = ep_ret[done]
@@ -90,6 +102,12 @@ def main():
             "episodes_completed": ended,
             "falls": falls,
             "fall_rate": round(falls / max(n_ep, 1), 3),
+            "walked_whole_track": int(reached_end.sum()),
+            "walked_whole_track_rate": round(
+                float(reached_end.sum()) / max(n_ep, 1), 3
+            ),
+            "falls_before_track_end": falls_mid,
+            "fall_before_end_rate": round(falls_mid / max(n_ep, 1), 3),
             "stone_hits_total": int(hit.sum()),
             "stones_per_episode": round(float(hit.sum()) / max(n_ep, 1), 2),
             "mean_episode_reward": round(float(d.mean()), 1) if d.size else None,
