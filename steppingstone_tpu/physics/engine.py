@@ -295,14 +295,26 @@ def _step_core_pd(model: RobotModel, cparams: ct.ContactParams, substeps: int,
         from steppingstone_tpu.physics.dynamics import GRAVITY
 
         qb, qdb, taub, tgb, pwb, stb, srb, ugb = in_batched
+        import os as _os
+
         use_pallas = (
             PALLAS_ENABLED
             and jax.default_backend() == "tpu"
             and axis_size % pallas_step.TILE == 0
             and model.joint_rot is None
-            and qb and qdb and taub and tgb and stb
+            and qb and qdb
         )
         if use_pallas:
+            # broadcast whatever traced unbatched: vmap constant-folds
+            # e.g. `jnp.zeros_like(qj)` (the stepper's PD-mode tau) to an
+            # UNBATCHED zero, which used to refuse the kernel for every
+            # stable-PD (Cassie) run — a silent ~2x rollout slowdown
+            bcast = lambda x, b: x if b else jnp.broadcast_to(
+                x, (axis_size,) + jnp.shape(x)
+            )
+            tau_j = bcast(tau_j, taub)
+            target = bcast(target, tgb)
+            stones = bcast(stones, stb)
             pw = power if pwb else jnp.broadcast_to(power, (axis_size,))
             sr = stone_radius if srb else jnp.broadcast_to(stone_radius, (axis_size,))
             ug = use_ground if ugb else jnp.broadcast_to(use_ground, (axis_size,))
@@ -366,9 +378,14 @@ def _step_core(model: RobotModel, cparams: ct.ContactParams, substeps: int,
             and jax.default_backend() == "tpu"
             and axis_size % pallas_step.TILE == 0
             and model.joint_rot is None
-            and qb and qdb and taub and stb
+            and qb and qdb
         )
         if use_pallas:
+            bcast = lambda x, b: x if b else jnp.broadcast_to(
+                x, (axis_size,) + jnp.shape(x)
+            )
+            tau_j = bcast(tau_j, taub)
+            stones = bcast(stones, stb)
             sr = stone_radius if srb else jnp.broadcast_to(stone_radius, (axis_size,))
             ug = use_ground if ugb else jnp.broadcast_to(use_ground, (axis_size,))
             fn = pallas_step.build_batched_step(
