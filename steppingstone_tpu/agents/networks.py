@@ -68,6 +68,19 @@ def reinflate_logstd(params, value: float):
     return {**params, "params": flat}
 
 
+def cap_logstd(params, value: float):
+    """Cap exploration noise at `value` (per-dim min) — the late-run
+    deterministic-gait anneal: a policy whose stochastic return is carried
+    by exploration noise (round-4 Cassie: training test ~2900 at level 0
+    but 93% deterministic falls, reports/behavior_r4_cassie.json) is
+    forced toward its mean action as the cap descends, so PPO's objective
+    converges to the DETERMINISTIC behavior the evals measure. Keep the
+    cap above LOGSTD_MIN."""
+    flat = dict(params["params"])
+    flat["logstd"] = jnp.minimum(flat["logstd"], value)
+    return {**params, "params": flat}
+
+
 def torch_linear_init(key, shape, dtype=jnp.float32):
     """torch.nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
     fan_in = shape[0]

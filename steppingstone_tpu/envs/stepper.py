@@ -439,9 +439,11 @@ class StepperEnv:
         qj, qdj = state.phys.q[7:], state.phys.qd[6:]
         # support geometry (see StepperConfig.support)
         if cfg.support == "disc":
-            # shrinking-disc support curriculum (radius_extra)
+            # shrinking-disc support curriculum (radius_extra); keyed on
+            # cur.assist (== cur.level for fixed-curriculum runs) so
+            # grid-mode sampling strategies get the same learnability ramp
             r_eff = state.stone_radius + cfg.radius_extra * (
-                1.0 - terr.level_scale(state.cur.level)
+                1.0 - terr.level_scale(state.cur.assist)
             )
             hy = None
         elif cfg.support == "pillar":
@@ -457,7 +459,7 @@ class StepperEnv:
             # ~454 for 2.7e8 frames). The LEVEL-5 geometry — the mastery
             # claim — is unchanged by the assist.
             r_eff = state.stone_radius + cfg.radius_extra * (
-                1.0 - terr.level_scale(state.cur.level)
+                1.0 - terr.level_scale(state.cur.assist)
             )
             hy = cfg.plank_hy
         else:
@@ -571,9 +573,16 @@ class StepperEnv:
         elapsed = state.elapsed + 1
         timeout = elapsed >= cfg.max_episode_steps
         last_hit = jnp.where(hit, elapsed, state.last_hit)
-        stalled = (
-            (elapsed - last_hit >= cfg.stall_timeout) & (ns_new != last)
-        )
+        if cfg.stall_timeout > 0:
+            # exemption only for envs actually STANDING at the final stone
+            # (mirrors the target_bonus condition) — exempting every env
+            # whose *target* is the final stone let a policy park at the
+            # second-to-last stone and farm the tall bonus to timeout
+            # (round-4 advisor finding #1)
+            at_goal = (ns_new == last) & (new_dist < 0.15)
+            stalled = (elapsed - last_hit >= cfg.stall_timeout) & ~at_goal
+        else:
+            stalled = jnp.asarray(False)  # rule disabled (fidelity A/B)
         fall = ~tall | ~finite | stalled
         done = fall | timeout
         ep_return = state.ep_return + reward
@@ -652,11 +661,21 @@ class StepperEnv:
             )
         )
 
-    def update_curriculum(self, state: EnvState, level) -> EnvState:
+    def update_curriculum(self, state: EnvState, level, assist=None) -> EnvState:
+        """assist=None ties the support-assist to the level (the fixed
+        curriculum's behavior); pass an explicit assist to keep the
+        learnability ramp while installing a different sampling range
+        (threshold uniform rounds, reference `train.py:273-274`)."""
         cur = state.cur._replace(
             level=jnp.asarray(level, jnp.float32),
             use_prob=jnp.asarray(False),
+            assist=jnp.asarray(level if assist is None else assist, jnp.float32),
         )
+        return state._replace(cur=cur)
+
+    def update_assist(self, state: EnvState, assist) -> EnvState:
+        """Set only the support-geometry assist level (grid-mode runs)."""
+        cur = state.cur._replace(assist=jnp.asarray(assist, jnp.float32))
         return state._replace(cur=cur)
 
     def update_specialist(self, state: EnvState, k) -> EnvState:

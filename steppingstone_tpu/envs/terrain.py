@@ -47,14 +47,24 @@ class CurriculumState(NamedTuple):
     #                           integer levels, runtime/curriculum.py)
     sample_prob: jnp.ndarray  # (GRID, GRID) categorical over (yaw, pitch)
     use_prob: jnp.ndarray     # () bool — sample from the grid vs uniform
+    # Support-geometry assist level, DECOUPLED from the sampling level:
+    # in grid mode (use_prob) the 11x11 categorical drives (yaw, pitch)
+    # and `level` is unused for sampling, but the walking-direction
+    # overlap assist (stepper.py r_eff) must still be able to ramp from
+    # carpet to calibrated geometry — round-4 threshold runs slammed
+    # level 5 on uniform rounds (curriculum.py:178-180) so value-based
+    # runs never saw the level-0 learnability assist the fixed
+    # curriculum needed (round-4 verdict missing #2).
+    assist: jnp.ndarray       # () float32 in [0, 5]
 
 
-def default_curriculum(level: float = 0) -> CurriculumState:
+def default_curriculum(level: float = 0, assist=None) -> CurriculumState:
     p = jnp.full((GRID, GRID), 1.0 / (GRID * GRID), dtype=jnp.float32)
     return CurriculumState(
         level=jnp.asarray(level, dtype=jnp.float32),
         sample_prob=p,
         use_prob=jnp.asarray(False),
+        assist=jnp.asarray(level if assist is None else assist, jnp.float32),
     )
 
 

@@ -85,10 +85,23 @@ class VecEnv:
     def set_robot_params(self, state: EnvState, params: dict) -> EnvState:
         return self.env.set_robot_params(state, params)
 
-    def update_curriculum(self, state: EnvState, level) -> EnvState:
+    def update_curriculum(self, state: EnvState, level, assist=None) -> EnvState:
+        """assist=None ties the support assist to the level; an explicit
+        assist preserves the learnability ramp under a different sampling
+        range (see StepperEnv.update_curriculum)."""
         cur = state.cur._replace(
             level=jnp.full((self.num_envs,), level, jnp.float32),
             use_prob=jnp.zeros((self.num_envs,), bool),
+            assist=jnp.full(
+                (self.num_envs,), level if assist is None else assist,
+                jnp.float32,
+            ),
+        )
+        return state._replace(cur=cur)
+
+    def update_assist(self, state: EnvState, assist) -> EnvState:
+        cur = state.cur._replace(
+            assist=jnp.full((self.num_envs,), assist, jnp.float32)
         )
         return state._replace(cur=cur)
 

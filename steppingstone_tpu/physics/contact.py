@@ -64,7 +64,12 @@ def support_axes(stones: jnp.ndarray):
     h = jnp.stack([jnp.cos(phi), jnp.sin(phi), jnp.zeros_like(phi)], axis=-1)
     hn = jnp.einsum("...k,...k->...", h, normals)
     ux = h - hn[..., None] * normals
-    ux = ux / jnp.linalg.norm(ux, axis=-1, keepdims=True)
+    # 1e-12 guard matches the Pallas kernel (pallas_step.py): heading
+    # parallel to the normal is unreachable at the 15-degree tilt bound
+    # but must not NaN if ranges ever widen
+    ux = ux / jnp.sqrt(
+        jnp.sum(ux * ux, axis=-1, keepdims=True) + 1e-12
+    )
     uy = jnp.cross(normals, ux)
     return ux, uy
 

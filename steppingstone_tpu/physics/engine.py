@@ -247,9 +247,7 @@ def _warn_pallas_refused(model, axis_size):
     slow with no signal)."""
     from steppingstone_tpu.physics import pallas_step
 
-    if model.joint_rot is not None:
-        reason = "model has rotated joint frames (joint_rot is not None)"
-    elif axis_size % pallas_step.TILE != 0:
+    if axis_size % pallas_step.TILE != 0:
         reason = (
             f"batch size {axis_size} is not a multiple of the kernel tile "
             f"({pallas_step.TILE})"
@@ -301,7 +299,6 @@ def _step_core_pd(model: RobotModel, cparams: ct.ContactParams, substeps: int,
             PALLAS_ENABLED
             and jax.default_backend() == "tpu"
             and axis_size % pallas_step.TILE == 0
-            and model.joint_rot is None
             and qb and qdb
         )
         if use_pallas:
@@ -377,7 +374,6 @@ def _step_core(model: RobotModel, cparams: ct.ContactParams, substeps: int,
             PALLAS_ENABLED
             and jax.default_backend() == "tpu"
             and axis_size % pallas_step.TILE == 0
-            and model.joint_rot is None
             and qb and qdb
         )
         if use_pallas:

@@ -282,14 +282,27 @@ def build_batched_step(
     support_hy=<float>: plank support — box bound in the stone's in-plane
     (heading, lateral) frame with half-extents (stone_radius, support_hy),
     mirroring contact.compute_contacts(support_hy=...)."""
-    if model.joint_rot is not None:
-        raise NotImplementedError("pallas path assumes joint_rot is None")
-
     NB, NJ, NC = model.nbodies, model.njoints, model.ncontacts
     nq, nd = model.nq, model.ndof
     parent = [int(p) for p in model.parent]
     jaxis = [tuple(float(a) for a in row) for row in model.joint_axis]
     anchor = [tuple(float(a) for a in row) for row in model.joint_anchor]
+    # fixed parent->joint frame rotations (URDF <origin rpy>): wxyz consts,
+    # snapped so identity/axis-aligned entries prune via the symbolic
+    # algebra; None = identity for the whole model (built-in robots)
+    if model.joint_rot is not None:
+        def _snap(x):
+            x = float(x)
+            for v in (0.0, 1.0, -1.0):
+                if abs(x - v) < 1e-12:
+                    return v
+            return x
+        jrot = [tuple(_snap(a) for a in row) for row in model.joint_rot]
+        jrot = [
+            None if r == (1.0, 0.0, 0.0, 0.0) else r for r in jrot
+        ]
+    else:
+        jrot = [None] * NB
     com_l = [tuple(float(a) for a in row) for row in model.com]
     mass = [float(m) for m in model.mass]
     inert = [tuple(float(a) for a in row) for row in model.inertia]
@@ -340,7 +353,9 @@ def build_batched_step(
         for i in range(1, NB):
             p = parent[i]
             p_i = add3(pos[p], qrot(quat[p], anchor[i]))
-            q_i = qmul(quat[p], q_axis_angle(jaxis[i], qj[i - 1]))
+            # fixed frame rotation before the hinge (kinematics.py:49-54)
+            q_p = quat[p] if jrot[i] is None else qmul(quat[p], jrot[i])
+            q_i = qmul(q_p, q_axis_angle(jaxis[i], qj[i - 1]))
             pos.append(p_i)
             quat.append(q_i)
             axis_w.append(qrot(q_i, jaxis[i]))

@@ -81,6 +81,38 @@ class TrainConfig:
     # agents/networks.py reinflate_logstd; 0 disables either)
     level_ramp_updates: int = 25        # updates to ramp each level advance
     advance_logstd: float = -1.7        # re-inflate exploration on advance
+    # grid-mode assist ladder: threshold/adaptive runs get the same
+    # carpet->calibrated support-geometry ramp as the fixed curriculum
+    # (advanced on the same mean>1000 rule), decoupled from the sampling
+    # distribution (terrain.CurriculumState.assist)
+    grid_assist: bool = True
+    # mirror the fixed-curriculum level onto the deterministic test fleet
+    # (the reference's test envs stay at their construction-time level,
+    # `train.py:110`; ours can follow so test_*_rew measures the CURRENT
+    # difficulty)
+    test_curriculum: bool = False
+    # gate level advances on the deterministic test-fleet mean (>1000)
+    # instead of the stochastic training mean — closes the noise-carried-
+    # gait gap (round-4 Cassie: stochastic ~2900 vs 93% deterministic
+    # falls); requires test_curriculum
+    advance_on_test: bool = False
+    # late-run exploration anneal: once the top level is reached (or past
+    # 60% of the run for non-fixed strategies), cap the logstd linearly
+    # down to final_logstd over anneal_updates updates (0/0 disables) —
+    # forces the MEAN action to carry the gait (networks.cap_logstd)
+    final_logstd: float = 0.0
+    anneal_updates: int = 0
+    # explicit anneal start (update index); -1 = auto (top level reached,
+    # or 60% of the run for non-fixed strategies)
+    anneal_start_update: int = -1
+    # env-contract override: stall-timeout steps (-1 = env default 180;
+    # 0 disables the rule — the fidelity A/B of round-4 verdict weak #2)
+    stall_timeout: int = -1
+    # reference threshold-coupling flag (`train.py:125,226`): when True,
+    # the first non-value-only threshold update restricts sampling to
+    # specialist band 0 (the reference initializes it False, so its
+    # active path never fires; exposed here so the coupling is drivable)
+    first_sampling: bool = False
     # exploration reset on warm start (reference resets to -2.5,
     # controller.py:102-104; imperfect transplants need a warmer start)
     warm_start_logstd: float = -2.5
@@ -116,6 +148,67 @@ class TrainConfig:
             f"({self.episode_steps} % {self.num_processes})"
         )
         assert self.num_steps > 0 and self.num_updates > 0
+        if self.advance_on_test:
+            assert self.test_curriculum and self.num_tests > 0, (
+                "advance_on_test gates level advances on the deterministic "
+                "test fleet; set test_curriculum=True and num_tests > 0"
+            )
+        if self.anneal_updates > 0 or self.final_logstd != 0.0:
+            assert self.anneal_updates > 0 and self.final_logstd != 0.0, (
+                "the logstd anneal needs BOTH final_logstd and "
+                "anneal_updates set"
+            )
+            assert self.final_logstd > -3.0, (
+                "final_logstd must stay above the exploration floor "
+                "LOGSTD_MIN=-3.0 (networks.py)"
+            )
+
+    # ---- self-describing artifacts (round-4 verdict weak #7/task 10:
+    # configs.json once recorded sampling_scale=150 for a run that
+    # executed at a hardcoded 10) ---------------------------------------
+    def inert_keys(self) -> list:
+        """Config keys that have NO effect given the enabled strategies —
+        stamped into configs.json so a run's artifacts say which recorded
+        values the executing code actually consumed."""
+        inert = []
+        sampling = self.use_threshold_sampling or self.use_adaptive_sampling
+        if not sampling:
+            inert += ["sampling_scale", "grid_assist"]
+        if not self.use_threshold_sampling:
+            inert += ["curriculum_threshold"]
+        if not (self.use_curriculum or (sampling and self.grid_assist)):
+            inert += ["level_ramp_updates", "advance_logstd"]
+        if not (self.load_saved_controller or self.net):
+            inert += ["warm_start_logstd"]
+        if self.num_tests <= 0:
+            inert += ["test_interval", "test_curriculum", "advance_on_test"]
+        if self.anneal_updates == 0 and self.final_logstd == 0.0:
+            inert += ["anneal_updates", "final_logstd", "anneal_start_update"]
+        if not sampling:
+            inert += ["save_sampling_prob", "plot_prob"]
+        return sorted(set(inert))
+
+    def reference_divergences(self) -> dict:
+        """Defaults that deliberately diverge from the reference's ACTIVE
+        code path (round-4 advisor finding #2): returns {key: (ours,
+        reference)} for every such knob currently off its faithful value."""
+        faithful = {
+            "sampling_scale": 10,      # reference train.py:263,356 hardcodes
+            "level_ramp_updates": 0,   # reference steps levels instantly
+            "advance_logstd": 0.0,     # reference never re-inflates logstd
+            "grid_assist": False,      # no assist ladder in the reference
+            "test_curriculum": False,
+            "advance_on_test": False,
+            "final_logstd": 0.0,
+            "anneal_updates": 0,
+        }
+        out = {}
+        inert = set(self.inert_keys())
+        for k, ref in faithful.items():
+            ours = getattr(self, k)
+            if ours != ref and k not in inert:
+                out[k] = (ours, ref)
+        return out
 
 
 _BOOLS = {"true": True, "false": False, "1": True, "0": False,
@@ -183,13 +276,33 @@ def init_experiment(cfg: TrainConfig) -> str:
     """
     cfg.seed = cfg.seed + (cfg.replicate_num - 1) * cfg.num_processes
     os.makedirs(cfg.experiment_dir, exist_ok=True)
+    # stamp effective/derived values and the keys the enabled strategies
+    # ignore, so the snapshot is self-describing (verdict task 10)
+    snapshot = dataclasses.asdict(cfg)
+    snapshot["_effective"] = {
+        "seed": cfg.seed,  # after the replicate offset
+        "num_steps": cfg.num_steps,
+        "num_mini_batch": cfg.num_mini_batch,
+        "num_updates": cfg.num_updates,
+    }
+    snapshot["_inert_keys"] = cfg.inert_keys()
     with open(os.path.join(cfg.experiment_dir, "configs.json"), "w") as f:
-        json.dump(dataclasses.asdict(cfg), f, indent=2, sort_keys=True)
+        json.dump(snapshot, f, indent=2, sort_keys=True)
+    divergences = cfg.reference_divergences()
+    for k, (ours, ref) in divergences.items():
+        print(
+            f"config divergence from the reference's active path: {k}="
+            f"{ours} (reference: {ref})", flush=True,
+        )
     run_meta = {
         "start_time": datetime.datetime.now().isoformat(),
         "host": platform.node(),
         "python": sys.version,
         "argv": sys.argv,
+        "reference_divergences": {
+            k: {"ours": v[0], "reference": v[1]}
+            for k, v in divergences.items()
+        },
         **_git_info(),
     }
     with open(os.path.join(cfg.experiment_dir, "run.json"), "w") as f:

@@ -97,16 +97,28 @@ class FixedCurriculum:
     updates. ramp_updates=0 reproduces the reference's step change.
 
     The advance RULE is unchanged: target level += 1 when mean episode
-    reward > 1000, at most to 5, and never while a ramp is in flight."""
+    reward > 1000, at most to 5, and never while a ramp is in flight.
 
-    def __init__(self, venv, ramp_updates: int = 0):
+    assist_only=True turns this into the grid-mode ASSIST ladder: install/
+    tick touch only the support-geometry assist (venv.update_assist), so a
+    threshold/adaptive run keeps its sampling distribution while the
+    overlap assist ramps carpet -> calibrated exactly like a fixed run
+    (round-4 verdict missing #2: grid mode never saw the assist)."""
+
+    def __init__(self, venv, ramp_updates: int = 0, assist_only: bool = False):
         self.venv = venv
         self.level = 0            # integer target level
         self.frac = 0.0           # currently installed (possibly fractional)
         self.ramp_updates = max(int(ramp_updates), 0)
+        self.assist_only = assist_only
+
+    def _install(self, env_state):
+        if self.assist_only:
+            return self.venv.update_assist(env_state, self.frac)
+        return self.venv.update_curriculum(env_state, self.frac)
 
     def install(self, env_state):
-        return self.venv.update_curriculum(env_state, self.frac)
+        return self._install(env_state)
 
     def tick(self, env_state):
         """Per-update ramp step toward the target level."""
@@ -115,7 +127,7 @@ class FixedCurriculum:
                 1.0 / self.ramp_updates if self.ramp_updates else float("inf")
             )
             self.frac = min(self.frac + step, float(self.level))
-            env_state = self.venv.update_curriculum(env_state, self.frac)
+            env_state = self._install(env_state)
         return env_state
 
     def post_update(self, env_state, mean_rew: float):
@@ -124,7 +136,8 @@ class FixedCurriculum:
         exploration noise then)."""
         if mean_rew > 1000 and self.level <= 4 and self.frac >= self.level:
             self.level += 1
-            print("curriculum", self.level, flush=True)
+            print("assist" if self.assist_only else "curriculum",
+                  self.level, flush=True)
             env_state = self.tick(env_state)
             return env_state, True
         return env_state, False
@@ -174,10 +187,17 @@ class ThresholdSampling:
         self.last_probs = None
         self.last_grid = None   # normalized V-bar grid (instrumentation)
 
-    def pre_update(self, env_state, params, key):
+    def pre_update(self, env_state, params, key, assist=None):
         if self.uniform_sampling:
-            # full-range uniform round (train.py:273-274,481)
-            return self.venv.update_curriculum(env_state, terr.N_LEVELS - 1)
+            # full-range uniform round (train.py:273-274,481); clear the
+            # instrumentation so the driver does not re-append the PREVIOUS
+            # non-uniform round's arrays (round-4 advisor finding #3), and
+            # preserve the assist ladder's support geometry if one is active
+            self.last_probs = None
+            self.last_grid = None
+            return self.venv.update_curriculum(
+                env_state, terr.N_LEVELS - 1, assist=assist
+            )
         grid, _ = self.value_grid(params, key)
         probs = jax.nn.softmax(
             -self.scale * jnp.abs(grid.reshape(-1) - self.threshold)

@@ -41,6 +41,7 @@ from steppingstone_tpu.agents.gae import compute_gae, normalize_advantages
 from steppingstone_tpu.agents.mirror import MirrorSpec
 from steppingstone_tpu.agents.networks import (
     ActorCritic,
+    cap_logstd,
     reinflate_logstd,
     reset_logstd,
 )
@@ -72,6 +73,8 @@ class Trainer:
         cfg.validate()
         self.cfg = cfg
         env_kw = {"plank_class": cfg.plank_class} if cfg.plank_class else {}
+        if cfg.stall_timeout >= 0:
+            env_kw["stall_timeout"] = cfg.stall_timeout
         self.env = make_env(cfg.env_name, **env_kw)
 
         # ---- device mesh (built first: VecEnv shard_maps its step over
@@ -269,6 +272,20 @@ class Trainer:
         if fixed:
             print("curriculum", fixed.level, flush=True)
             env_state = fixed.install(env_state)
+        # grid-mode assist ladder: threshold/adaptive runs ramp the support
+        # geometry carpet -> calibrated on the same mean>1000 rule, without
+        # touching the sampling distribution (verdict round-4 missing #2)
+        assist = (
+            curr.FixedCurriculum(
+                self.venv, ramp_updates=cfg.level_ramp_updates,
+                assist_only=True,
+            )
+            if cfg.grid_assist
+            and (cfg.use_adaptive_sampling or cfg.use_threshold_sampling)
+            else None
+        )
+        if assist:
+            env_state = assist.install(env_state)
         specialist = (
             curr.SpecialistSchedule(self.venv) if cfg.use_specialist else None
         )
@@ -305,6 +322,9 @@ class Trainer:
         max_ep_reward = float("-inf")
         test_rets = np.zeros(0)
         start_update = 0
+        anneal_start = -1            # update index where the logstd anneal
+        #                              began (-1 = not started)
+        first_sampling = cfg.first_sampling  # reference train.py:125
 
         # ---- full-resume snapshot (SURVEY §5: params + optimizer +
         # env/curriculum/PRNG/test-fleet state, so a resumed run continues
@@ -329,11 +349,15 @@ class Trainer:
                 "curriculum": {
                     "fixed_level": fixed.level if fixed else -1,
                     "fixed_frac": fixed.frac if fixed else -1.0,
+                    "assist_level": assist.level if assist else -1,
+                    "assist_frac": assist.frac if assist else -1.0,
                     "specialist": specialist.specialist if specialist else -1,
                     "thr_uniform_counter":
                         threshold.uniform_counter if threshold else -1,
                     "thr_uniform_sampling":
                         bool(threshold.uniform_sampling) if threshold else False,
+                    "anneal_start": anneal_start,
+                    "first_sampling": bool(first_sampling),
                 },
             }
             if self.test_venv is not None:
@@ -404,6 +428,12 @@ class Trainer:
                 fixed.level = int(c["fixed_level"])
                 fixed.frac = float(c.get("fixed_frac", fixed.level))
                 env_state = fixed.install(env_state)
+            if assist and "assist_level" in c and int(c["assist_level"]) >= 0:
+                assist.level = int(c["assist_level"])
+                assist.frac = float(c.get("assist_frac", assist.level))
+                env_state = assist.install(env_state)
+            anneal_start = int(c.get("anneal_start", -1))
+            first_sampling = bool(c.get("first_sampling", cfg.first_sampling))
             if specialist and "specialist" in c:
                 specialist.specialist = int(c["specialist"])
             if threshold and "thr_uniform_counter" in c:
@@ -442,9 +472,28 @@ class Trainer:
             # ---- curriculum pre-hooks --------------------------------
             if fixed:
                 env_state = fixed.tick(env_state)
+            if assist:
+                env_state = assist.tick(env_state)
+            # reference alternation: `update_values` every other update
+            # (`train.py:515-519`, toggle commented there; opt-in here)
+            value_only = cfg.use_value_update and j % 2 == 1
+            # reference threshold coupling (`train.py:224-228`): value-only
+            # rounds collect at uniform full range; the first non-value
+            # sampling round restricts to specialist band 0
+            if value_only and threshold:
+                env_state = self.venv.update_curriculum(
+                    env_state, curr.terr.N_LEVELS - 1,
+                    assist=assist.frac if assist else None,
+                )
+            elif (not value_only) and threshold and first_sampling:
+                env_state = self.venv.update_specialist(env_state, 0)
+                first_sampling = False
             key, k_curr = jax.random.split(key)
             if threshold:
-                env_state = threshold.pre_update(env_state, params, k_curr)
+                env_state = threshold.pre_update(
+                    env_state, params, k_curr,
+                    assist=assist.frac if assist else None,
+                )
                 if threshold.last_probs is not None and cfg.save_sampling_prob:
                     sampling_prob_log.append(threshold.last_probs)
                     value_grid_log.append(threshold.last_grid)
@@ -453,11 +502,15 @@ class Trainer:
                 if adaptive.last_probs is not None and cfg.save_sampling_prob:
                     sampling_prob_log.append(adaptive.last_probs)
                     value_grid_log.append(adaptive.last_grid)
+            # mirror the current level onto the deterministic test fleet
+            if (
+                cfg.test_curriculum and self.test_venv is not None and fixed
+            ):
+                test_state = self.test_venv.update_curriculum(
+                    test_state, fixed.frac
+                )
 
             # ---- the compiled update ---------------------------------
-            # reference alternation: `update_values` every other update
-            # (`train.py:515-519`, toggle commented there; opt-in here)
-            value_only = cfg.use_value_update and j % 2 == 1
             it_fn = (
                 self._train_iteration_values if value_only
                 else self._train_iteration
@@ -508,12 +561,46 @@ class Trainer:
             mean_rew = float(rets.mean()) if rets.size else 0.0
 
             # ---- fixed curriculum / specialist advance ----------------
-            if fixed and rets.size:
-                env_state, advanced = fixed.post_update(env_state, mean_rew)
+            # advance metric: stochastic training mean (reference
+            # train.py:503) or, with advance_on_test, the deterministic
+            # test-fleet mean — only on updates with a fresh test rollout
+            if cfg.advance_on_test:
+                adv_metric = (
+                    float(test_rets.mean())
+                    if test_fresh and test_rets.size else None
+                )
+            else:
+                adv_metric = mean_rew if rets.size else None
+            if fixed and adv_metric is not None:
+                env_state, advanced = fixed.post_update(env_state, adv_metric)
                 if advanced and cfg.advance_logstd != 0.0:
                     # restore exploration for the harder level (reference
                     # analog: warm-start reset_dist, controller.py:102-104)
                     params = reinflate_logstd(params, cfg.advance_logstd)
+            if assist and adv_metric is not None:
+                env_state, a_adv = assist.post_update(env_state, adv_metric)
+                if a_adv and cfg.advance_logstd != 0.0:
+                    params = reinflate_logstd(params, cfg.advance_logstd)
+
+            # ---- late-run exploration anneal (networks.cap_logstd) ----
+            if cfg.anneal_updates > 0:
+                if anneal_start < 0:
+                    if cfg.anneal_start_update >= 0:
+                        at_top = j >= cfg.anneal_start_update
+                    else:
+                        at_top = (
+                            fixed.level >= 5 and fixed.frac >= 5.0
+                            if fixed else j >= int(0.6 * cfg.num_updates)
+                        )
+                    if at_top:
+                        anneal_start = j
+                        print(f"logstd anneal begins at update {j + 1}",
+                              flush=True)
+                if anneal_start >= 0:
+                    t = min(1.0, (j - anneal_start) / cfg.anneal_updates)
+                    cap = -1.5 + t * (cfg.final_logstd + 1.5)
+                    params = cap_logstd(params, cap)
+
             if specialist and rets.size:
                 env_state = specialist.post_update(
                     env_state, mean_rew,

@@ -221,8 +221,10 @@ def test_plank_support_contact_bounds():
 
 
 def test_plank_class_kwarg_and_static_support():
-    """`plank_class` env kwarg maps to static plank support decoupled from
-    the level axis: effective support does not shrink with level."""
+    """`plank_class` env kwarg maps to plank support. Only the LATERAL
+    half-extent (plank_hy) and the level-5 geometry are static: the
+    walking-direction half-extent ramps with the assist level (the
+    carpet->calibrated overlap assist, stepper.py plank branch)."""
     env = make_env("Walker3DStepperEnv-v0", plank_class="LargePlank")
     assert env.cfg.support == "plank" and env.cfg.plank_hy == 1.5
     pillar = make_env("Walker3DStepperEnv-v0", plank_class="Pillar")
@@ -264,13 +266,29 @@ def test_stall_timeout_terminates(walker):
     state, out = jax.jit(walker.step)(state, jnp.zeros(walker.action_dim))
     assert bool(out.done)
     assert not bool(out.timeout)  # a stall is a failure, not a time limit
-    # at the final stone the stall rule is exempt (standing there is the
-    # intended success behavior)
+    # STANDING at the final stone is exempt (the intended success, the
+    # target_bonus condition) — but merely TARGETING the final stone from
+    # afar is not: that let a policy park at the second-to-last stone and
+    # farm the tall bonus to timeout (round-4 advisor finding #1)
     state2, _ = walker.reset(jax.random.PRNGKey(1))
+    last = cfg.n_stones - 1
+    at_goal = state2.terrain.at[last].set(
+        jnp.concatenate([state2.phys.q[0:2], jnp.zeros(4)])
+    )
     state2 = state2._replace(
         elapsed=jnp.asarray(cfg.stall_timeout - 1, jnp.int32),
         last_hit=jnp.asarray(0, jnp.int32),
-        next_step_index=jnp.asarray(cfg.n_stones - 1, jnp.int32),
+        next_step_index=jnp.asarray(last, jnp.int32),
+        terrain=at_goal,
     )
     state2, out2 = jax.jit(walker.step)(state2, jnp.zeros(walker.action_dim))
     assert not bool(out2.done)
+    # targeting the final stone from > 0.15 m away still stalls
+    state3, _ = walker.reset(jax.random.PRNGKey(2))
+    state3 = state3._replace(
+        elapsed=jnp.asarray(cfg.stall_timeout - 1, jnp.int32),
+        last_hit=jnp.asarray(0, jnp.int32),
+        next_step_index=jnp.asarray(last, jnp.int32),
+    )
+    state3, out3 = jax.jit(walker.step)(state3, jnp.zeros(walker.action_dim))
+    assert bool(out3.done)
