@@ -23,9 +23,13 @@ COMMON="num_processes=1024 episode_steps=409600 mini_batch_size=1024 \
 # hardening (tasks 1+4): mirror the fixed level onto the deterministic
 # test fleet, gate advances on its mean (the deterministic/stochastic gap
 # closer), and anneal exploration down once the top level is reached so
-# the MEAN action carries the gait the behavior evals measure
+# the MEAN action carries the gait the behavior evals measure.
+# kl_cutoff is MANDATORY with the anneal: log-prob gradients scale
+# 1/sigma^2, and the unguarded first attempt collapsed 786 -> 221 in 10
+# updates the moment the cap pinned at -2.5 (runs/r5_w3d_noguard,
+# progress.csv iters 401-411)
 HARDEN="test_curriculum=True advance_on_test=True \
-  final_logstd=-2.5 anneal_updates=150"
+  final_logstd=-2.5 anneal_updates=150 kl_cutoff=0.12"
 
 run() {
   local dir=$1 tmo=$2; shift 2
@@ -61,7 +65,7 @@ if [ "$stage" = cassie ] || [ "$stage" = all ]; then
   run runs/r5_cassie 3600 env_name=CassieStepper-v1 \
     plank_class=LargePlank use_curriculum=True use_phase_mirror=True \
     num_ensembles=2 num_frames=5e8 \
-    test_curriculum=True advance_on_test=True \
+    test_curriculum=True advance_on_test=True kl_cutoff=0.12 \
     final_logstd=-2.5 anneal_updates=400 anneal_start_update=500
 fi
 
