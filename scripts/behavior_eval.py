@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--tag", default="latest")
     ap.add_argument("--plank_class", default=None,
                     help="evaluate on this support geometry (stepper.PLANK_CLASSES)")
+    ap.add_argument("--bands", type=int, nargs="*", default=None,
+                    help="evaluate at specialist difficulty BANDS (annuli "
+                    "of the 11x11 grid, terrain.specialist_band_prob) "
+                    "instead of levels; support geometry fixed at level 5")
+    ap.add_argument("--specialists", action="store_true",
+                    help="with --bands: load checkpoints/specialist_k for "
+                    "band k (vs the single --tag policy for every band)")
     ap.add_argument("--platform", default=os.environ.get("JAX_PLATFORMS", "cpu"))
     ap.add_argument("--out", default=None, help="also write JSON here")
     args = ap.parse_args()
@@ -57,11 +64,34 @@ def main():
     report = {"run": args.run_dir, "env": args.env, "tag": args.tag,
               "envs": N, "steps": T, "support": env.cfg.support,
               "plank_class": args.plank_class}
-    for level in args.levels:
+    # evaluation entries: curriculum levels, or specialist bands (annuli
+    # of the (yaw, pitch) grid at level-5 support geometry) — the latter
+    # backs the specialist-vs-generalist comparison (round-4 verdict
+    # task 8; reference update_specialist semantics, train.py:542-549)
+    entries = []
+    if args.bands is not None:
+        for k in args.bands:
+            p = params
+            if args.specialists:
+                sk = mgr.restore(f"specialist_{min(k, 4)}")
+                p = jax.device_put(sk["params"])
+            cur = terr.default_curriculum(terr.N_LEVELS - 1)._replace(
+                sample_prob=terr.specialist_band_prob(k),
+                use_prob=jnp.asarray(True),
+            )
+            name = f"band_{k}" + ("_specialist" if args.specialists else "")
+            entries.append((name, cur, p))
+    else:
+        for level in args.levels:
+            entries.append(
+                (f"level_{level:g}", terr.default_curriculum(level), params)
+            )
+
+    for label, cur, params in entries:
         keys = jax.random.split(jax.random.PRNGKey(7), N)
         state, obs = jax.jit(
             jax.vmap(env.reset, in_axes=(0, None))
-        )(keys, terr.default_curriculum(level))
+        )(keys, cur)
 
         last = env.cfg.n_stones - 1
 
@@ -98,7 +128,7 @@ def main():
         # episodes in flight at the horizon count once each for rates
         n_ep = ended + N
         d = ep_ret[done]
-        report[f"level_{level:g}"] = {
+        report[label] = {
             "episodes_completed": ended,
             "falls": falls,
             "fall_rate": round(falls / max(n_ep, 1), 3),
@@ -119,7 +149,7 @@ def main():
             ),
             "mean_final_x_m": round(float(np.asarray(fstate.phys.q[:, 0]).mean()), 1),
         }
-        print(f"level {level:g} done", file=sys.stderr, flush=True)
+        print(f"{label} done", file=sys.stderr, flush=True)
     js = json.dumps(report, indent=2)
     print(js)
     if args.out:
