@@ -37,6 +37,15 @@ if [ "$stage" = cassie_ext ] || [ "$stage" = all ]; then
     final_logstd=-2.5 anneal_updates=400 anneal_start_update=500
 fi
 
+if [ "$stage" = thr_ext ] || [ "$stage" = all ]; then
+  # extend the threshold run 2e8 -> 4e8 with the working assist bar
+  # (assist_bar=700 default; the first 2e8 ran before the bar existed and
+  # the ladder never moved off the carpet)
+  run runs/r5_thr150 2400 env_name=Walker3DStepperEnv-v0 \
+    plank_class=LargePlank use_threshold_sampling=True \
+    save_sampling_prob=True plot_prob=True num_frames=4e8
+fi
+
 if [ "$stage" = evals ] || [ "$stage" = all ]; then
   bash scripts/round5_evals.sh
 fi

@@ -86,6 +86,10 @@ class TrainConfig:
     # (advanced on the same mean>1000 rule), decoupled from the sampling
     # distribution (terrain.CurriculumState.assist)
     grid_assist: bool = True
+    # advance bar for the assist ladder (the fixed curriculum keeps the
+    # reference's 1000): frontier-targeting sampling suppresses the
+    # episode mean by design, so the ladder needs a lower bar to move
+    assist_bar: float = 700.0
     # mirror the fixed-curriculum level onto the deterministic test fleet
     # (the reference's test envs stay at their construction-time level,
     # `train.py:110`; ours can follow so test_*_rew measures the CURRENT
@@ -173,7 +177,9 @@ class TrainConfig:
         inert = []
         sampling = self.use_threshold_sampling or self.use_adaptive_sampling
         if not sampling:
-            inert += ["sampling_scale", "grid_assist"]
+            inert += ["sampling_scale", "grid_assist", "assist_bar"]
+        elif not self.grid_assist:
+            inert += ["assist_bar"]
         if not self.use_threshold_sampling:
             inert += ["curriculum_threshold"]
         if not (self.use_curriculum or (sampling and self.grid_assist)):

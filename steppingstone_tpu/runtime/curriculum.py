@@ -105,12 +105,20 @@ class FixedCurriculum:
     overlap assist ramps carpet -> calibrated exactly like a fixed run
     (round-4 verdict missing #2: grid mode never saw the assist)."""
 
-    def __init__(self, venv, ramp_updates: int = 0, assist_only: bool = False):
+    def __init__(self, venv, ramp_updates: int = 0, assist_only: bool = False,
+                 bar: float = 1000.0):
+        """bar: the advance threshold. The reference's is 1000
+        (train.py:503); the grid-mode assist ladder uses a lower one
+        (config assist_bar) because frontier-targeting sampling
+        (threshold/adaptive) suppresses the episode mean by design —
+        observed: runs/r5_thr150 climbing steadily but plateauing at
+        450-790 with the support stuck on the level-0 carpet."""
         self.venv = venv
         self.level = 0            # integer target level
         self.frac = 0.0           # currently installed (possibly fractional)
         self.ramp_updates = max(int(ramp_updates), 0)
         self.assist_only = assist_only
+        self.bar = float(bar)
 
     def _install(self, env_state):
         if self.assist_only:
@@ -134,7 +142,7 @@ class FixedCurriculum:
         """Returns (env_state, advanced: bool) — advanced=True on the
         update where the target level increments (the driver re-inflates
         exploration noise then)."""
-        if mean_rew > 1000 and self.level <= 4 and self.frac >= self.level:
+        if mean_rew > self.bar and self.level <= 4 and self.frac >= self.level:
             self.level += 1
             print("assist" if self.assist_only else "curriculum",
                   self.level, flush=True)

@@ -278,7 +278,7 @@ class Trainer:
         assist = (
             curr.FixedCurriculum(
                 self.venv, ramp_updates=cfg.level_ramp_updates,
-                assist_only=True,
+                assist_only=True, bar=cfg.assist_bar,
             )
             if cfg.grid_assist
             and (cfg.use_adaptive_sampling or cfg.use_threshold_sampling)
