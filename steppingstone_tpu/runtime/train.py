@@ -509,6 +509,14 @@ class Trainer:
                 test_state = self.test_venv.update_curriculum(
                     test_state, fixed.frac
                 )
+            # grid-mode runs: mirror the ASSIST onto the test fleet (level
+            # stays 0/uniform), so the deterministic test mean measures
+            # base competence at the current support geometry — the
+            # assist ladder gates on it below
+            if assist and self.test_venv is not None:
+                test_state = self.test_venv.update_assist(
+                    test_state, assist.frac
+                )
 
             # ---- the compiled update ---------------------------------
             it_fn = (
@@ -577,10 +585,24 @@ class Trainer:
                     # restore exploration for the harder level (reference
                     # analog: warm-start reset_dist, controller.py:102-104)
                     params = reinflate_logstd(params, cfg.advance_logstd)
-            if assist and adv_metric is not None:
-                env_state, a_adv = assist.post_update(env_state, adv_metric)
-                if a_adv and cfg.advance_logstd != 0.0:
-                    params = reinflate_logstd(params, cfg.advance_logstd)
+            # assist ladder advances on the deterministic test mean when a
+            # test fleet exists: the stochastic training mean is pinned
+            # low by frontier-targeting sampling (scale-150 threshold
+            # concentrates on |V-0.85| cells, so episodes sit at the
+            # competence edge by design — observed mean plateau 330-530
+            # across 3.5e8 frames while max stayed under the bar)
+            if assist:
+                if cfg.num_tests > 0:
+                    a_metric = (
+                        float(test_rets.mean())
+                        if test_fresh and test_rets.size else None
+                    )
+                else:
+                    a_metric = mean_rew if rets.size else None
+                if a_metric is not None:
+                    env_state, a_adv = assist.post_update(env_state, a_metric)
+                    if a_adv and cfg.advance_logstd != 0.0:
+                        params = reinflate_logstd(params, cfg.advance_logstd)
 
             # ---- late-run exploration anneal (networks.cap_logstd) ----
             if cfg.anneal_updates > 0:
