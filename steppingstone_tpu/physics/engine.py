@@ -224,15 +224,15 @@ def _step_scan(
 
 # ---------------------------------------------------------------------------
 # public step: custom-vmap dispatch between the jnp scan (single env / CPU)
-# and the fused Pallas control-step kernel (TPU, batch % 1024 == 0)
+# and the fused Pallas control-step kernel (any batch size on TPU; non-TILE
+# batches are padded up to the next TILE multiple and sliced back)
 # ---------------------------------------------------------------------------
 
 PALLAS_ENABLED = True
 # pallas_call does not GSPMD-partition under pjit, so under a multi-device
 # mesh VecEnv runs the batched step inside `jax.shard_map` over the env
-# axis (envs/vector.py): this rule then sees the *per-shard* batch size,
-# and the fused kernel stays active as long as each shard is a TILE
-# multiple. Set PALLAS_ENABLED=False only to force the jnp path (tests).
+# axis (envs/vector.py): this rule then sees the *per-shard* batch size.
+# Set PALLAS_ENABLED=False only to force the jnp path (tests).
 
 
 from functools import lru_cache
@@ -240,20 +240,36 @@ from functools import lru_cache
 _pallas_refusals_warned: set = set()
 
 
+def _pad_to_tile(axis_size: int):
+    """Trace-time helpers to run sub-tile (or non-multiple) batches through
+    the fused kernel: replicate row 0 up to the next TILE multiple, then
+    slice the outputs back. The 64-env deterministic test fleet used to
+    REFUSE the kernel (batch 64 % 1024 != 0) and silently evaluate on the
+    ~14x-slower jnp path every test_interval — padding wastes kernel lanes
+    but one padded tile is still ~14x faster than the fallback."""
+    from steppingstone_tpu.physics import pallas_step
+
+    pad = (-axis_size) % pallas_step.TILE
+    if pad == 0:
+        return lambda x: x, lambda x: x
+
+    def pad_fn(x):
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], axis=0
+        )
+
+    def unpad_fn(x):
+        return x[:axis_size]
+
+    return pad_fn, unpad_fn
+
+
 def _warn_pallas_refused(model, axis_size):
     """Loud, once-per-reason warning when the TPU fast path is refused and
     the batched step silently falls to the ~14x-slower jnp path (verdict
     round-3 weak #7: URDF-loaded robots with rotated joint frames trained
     slow with no signal)."""
-    from steppingstone_tpu.physics import pallas_step
-
-    if axis_size % pallas_step.TILE != 0:
-        reason = (
-            f"batch size {axis_size} is not a multiple of the kernel tile "
-            f"({pallas_step.TILE})"
-        )
-    else:
-        reason = "an unbatched required operand"
+    reason = "an unbatched required operand"
     key = (id(model), reason)
     if key not in _pallas_refusals_warned:
         _pallas_refusals_warned.add(key)
@@ -298,7 +314,6 @@ def _step_core_pd(model: RobotModel, cparams: ct.ContactParams, substeps: int,
         use_pallas = (
             PALLAS_ENABLED
             and jax.default_backend() == "tpu"
-            and axis_size % pallas_step.TILE == 0
             and qb and qdb
         )
         if use_pallas:
@@ -315,12 +330,16 @@ def _step_core_pd(model: RobotModel, cparams: ct.ContactParams, substeps: int,
             pw = power if pwb else jnp.broadcast_to(power, (axis_size,))
             sr = stone_radius if srb else jnp.broadcast_to(stone_radius, (axis_size,))
             ug = use_ground if ugb else jnp.broadcast_to(use_ground, (axis_size,))
+            pad, unpad = _pad_to_tile(axis_size)
             fn = pallas_step.build_batched_step(
                 model, cparams, substeps, n_stones,
                 SIM_DT, LIMIT_K, LIMIT_C, MAX_QD, GRAVITY, pd=True,
                 support_hy=support_hy,
             )
-            qn, qdn, d = fn(q, qd, tau_j, target, pw, stones, sr, ug)
+            qn, qdn, d = fn(pad(q), pad(qd), pad(tau_j), pad(target),
+                            pad(pw), pad(stones), pad(sr), pad(ug))
+            qn, qdn = unpad(qn), unpad(qdn)
+            d = jax.tree.map(unpad, d)
             out = (
                 qn,
                 qdn,
@@ -373,7 +392,6 @@ def _step_core(model: RobotModel, cparams: ct.ContactParams, substeps: int,
         use_pallas = (
             PALLAS_ENABLED
             and jax.default_backend() == "tpu"
-            and axis_size % pallas_step.TILE == 0
             and qb and qdb
         )
         if use_pallas:
@@ -384,12 +402,16 @@ def _step_core(model: RobotModel, cparams: ct.ContactParams, substeps: int,
             stones = bcast(stones, stb)
             sr = stone_radius if srb else jnp.broadcast_to(stone_radius, (axis_size,))
             ug = use_ground if ugb else jnp.broadcast_to(use_ground, (axis_size,))
+            pad, unpad = _pad_to_tile(axis_size)
             fn = pallas_step.build_batched_step(
                 model, cparams, substeps, n_stones,
                 SIM_DT, LIMIT_K, LIMIT_C, MAX_QD, GRAVITY,
                 support_hy=support_hy,
             )
-            qn, qdn, d = fn(q, qd, tau_j, stones, sr, ug)
+            qn, qdn, d = fn(pad(q), pad(qd), pad(tau_j), pad(stones),
+                            pad(sr), pad(ug))
+            qn, qdn = unpad(qn), unpad(qdn)
+            d = jax.tree.map(unpad, d)
             out = (
                 qn,
                 qdn,

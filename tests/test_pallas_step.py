@@ -176,6 +176,47 @@ def test_pallas_matches_scan_rotated_frames(substeps):
     _check_parity(rotated_small_model(), substeps)
 
 
+def test_padded_dispatch_small_batch():
+    """Sub-tile batches ride the kernel via engine._pad_to_tile (the
+    64-env deterministic test fleet used to REFUSE the kernel and fall to
+    the ~14x-slower jnp path): pad row-0 replicas up to TILE, run the
+    kernel, slice back — parity vs the jnp scan at the original batch."""
+    model = small_model()
+    cparams = ct.ContactParams()
+    substeps = 2
+    q, qd, tau, stones, sr, ug = _random_inputs(jax.random.PRNGKey(2), model)
+    bs = 64
+    q, qd, tau, stones, sr, ug = (x[:bs] for x in (q, qd, tau, stones, sr, ug))
+
+    pad, unpad = engine._pad_to_tile(bs)
+    fn = pallas_step.build_batched_step(
+        model, cparams, substeps, N_STONES,
+        engine.SIM_DT, engine.LIMIT_K, engine.LIMIT_C, engine.MAX_QD, GRAVITY,
+        interpret=True,
+    )
+    qn, qdn, d = fn(pad(q), pad(qd), pad(tau), pad(stones), pad(sr), pad(ug))
+    qn, qdn = unpad(qn), unpad(qdn)
+    d = jax.tree.map(unpad, d)
+    assert qn.shape == (bs, model.nq) and qdn.shape == (bs, model.ndof)
+    assert d["foot_contact"].shape[0] == bs
+
+    ref_step = jax.vmap(
+        lambda q_, qd_, t_, s_, r_, g_: engine._step_scan(
+            model, engine.PhysicsState(q_, qd_), t_, s_, r_, g_, cparams, substeps
+        )
+    )
+    st_ref, _ = ref_step(q, qd, tau, stones, sr, ug)
+    np.testing.assert_allclose(np.asarray(qn), np.asarray(st_ref.q), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qdn), np.asarray(st_ref.qd), rtol=2e-3, atol=2e-2)
+
+
+def test_pad_to_tile_noop_on_multiple():
+    """TILE-multiple batches pass through _pad_to_tile untouched."""
+    pad, unpad = engine._pad_to_tile(2 * pallas_step.TILE)
+    x = jnp.ones((2 * pallas_step.TILE, 3))
+    assert pad(x) is x and unpad(x) is x
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("substeps", [1, 4])
 def test_pallas_matches_scan_walker(substeps):
