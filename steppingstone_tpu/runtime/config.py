@@ -81,6 +81,13 @@ class TrainConfig:
     # agents/networks.py reinflate_logstd; 0 disables either)
     level_ramp_updates: int = 25        # updates to ramp each level advance
     advance_logstd: float = -1.7        # re-inflate exploration on advance
+    # fixed-curriculum advance bar (reference train.py:503 hardcodes 1000).
+    # The bar is reward-scale dependent: Cassie's gait-clock reward field
+    # tops out lower per episode than Walker3D's, so its deterministic
+    # test mean plateaus ~680 at level 4 while walking — pace advances
+    # with a robot-appropriate bar; the final eval is level-5 behavior
+    # regardless of how advances were paced
+    curriculum_bar: float = 1000.0
     # grid-mode assist ladder: threshold/adaptive runs get the same
     # carpet->calibrated support-geometry ramp as the fixed curriculum
     # (advanced on the same mean>1000 rule), decoupled from the sampling
@@ -184,6 +191,8 @@ class TrainConfig:
             inert += ["curriculum_threshold"]
         if not (self.use_curriculum or (sampling and self.grid_assist)):
             inert += ["level_ramp_updates", "advance_logstd"]
+        if not self.use_curriculum:
+            inert += ["curriculum_bar"]
         if not (self.load_saved_controller or self.net):
             inert += ["warm_start_logstd"]
         if self.num_tests <= 0:
@@ -207,6 +216,7 @@ class TrainConfig:
             "advance_on_test": False,
             "final_logstd": 0.0,
             "anneal_updates": 0,
+            "curriculum_bar": 1000.0,  # reference train.py:503 hardcodes
         }
         out = {}
         inert = set(self.inert_keys())

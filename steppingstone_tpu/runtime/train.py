@@ -266,7 +266,8 @@ class Trainer:
 
         # ---- curriculum strategies -----------------------------------
         fixed = (
-            curr.FixedCurriculum(self.venv, ramp_updates=cfg.level_ramp_updates)
+            curr.FixedCurriculum(self.venv, ramp_updates=cfg.level_ramp_updates,
+                                 bar=cfg.curriculum_bar)
             if cfg.use_curriculum else None
         )
         if fixed:
